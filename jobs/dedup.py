@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the dedup pipeline.
+
+Usage (sandbox):
+    python jobs/dedup.py --synth 2000 --ckpt /tmp/ckpt --run-id demo
+    python jobs/dedup.py --pages /path/pages.parquet --ckpt /tmp/ckpt
+
+Production: spark-submit --py-files dist/replicheck_spark.zip jobs/dedup.py \
+    --pages <iceberg-or-parquet> --ckpt <table-root> --run-id <id>
+
+Resumable: re-running with the same --ckpt/--run-id skips completed stages.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+# allow `python jobs/dedup.py` from a checkout (spark-submit ships the
+# package via --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="replicheck_spark dedup job")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="parquet path of the pages table")
+    src.add_argument("--synth", type=int, help="synthesize N-doc planted corpus")
+    p.add_argument("--ckpt", required=True, help="checkpoint root directory")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--min-similarity", type=float, default=0.8)
+    p.add_argument("--min-size", type=int, default=50)
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--no-substr", action="store_true")
+    p.add_argument("--master", default=None, help="spark master (default local[N])")
+    p.add_argument("--output-format", choices=["text", "json"], default="text")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from replicheck_spark.config import DedupConfig
+    from replicheck_spark.operators.report import (
+        cluster_summary,
+        edge_summary,
+        render_json,
+        render_text,
+    )
+    from replicheck_spark.plans.pipeline import run_dedup
+    from replicheck_spark.session import get_spark
+
+    cfg = DedupConfig(
+        min_similarity=args.min_similarity,
+        min_size=args.min_size,
+        shingle_k=args.shingle_k,
+        seed=args.seed,
+    )
+    spark = get_spark("replicheck_spark_dedup", master=args.master)
+
+    if args.synth:
+        from replicheck_spark.corpus import write_pages_parquet
+
+        pages_path = tempfile.mkdtemp(prefix="pages_") + "/pages.parquet"
+        write_pages_parquet(pages_path, n_docs=args.synth, seed=args.seed)
+        print(f"[synth] wrote {args.synth}-doc planted corpus to {pages_path}")
+    else:
+        pages_path = args.pages
+
+    pages = spark.read.parquet(pages_path)
+    t0 = time.monotonic()
+    result = run_dedup(
+        spark, pages, cfg, args.ckpt, run_id=args.run_id,
+        with_substr=not args.no_substr,
+    )
+    summary = cluster_summary(result.clusters)
+    edges = edge_summary(result.edges)
+    wall = time.monotonic() - t0
+    n_docs = result.docs.count()
+
+    if args.output_format == "json":
+        out = json.loads(render_json(summary, edges))
+        out["wall_sec"] = round(wall, 2)
+        out["docs"] = n_docs
+        out["docs_per_sec"] = round(n_docs / wall, 1)
+        print(json.dumps(out, indent=2))
+    else:
+        print(render_text(summary, edges))
+        print(f"Processed {n_docs} docs in {wall:.1f}s ({n_docs / wall:.0f} docs/sec)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

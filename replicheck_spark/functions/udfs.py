@@ -1,0 +1,94 @@
+"""Vectorized pandas UDFs — the ONLY Python that runs on the data plane.
+
+Every UDF receives Arrow batches, flattens to numpy, and defers to the shared
+core (`textnorm`, `hashing`, `minhash`). No per-row Python UDFs exist anywhere
+in this engine (BASELINE.json north_rule); everything else is JVM-side
+built-ins. The extraction UDF applies literally the same function the oracle
+applies, so per-url extraction is byte-identical by construction.
+
+Reference parity: these are the analog of the reference's pluggable analyzers
+(/root/reference/replicheck/runner.py:128-140) — but batched, columnar, and
+side-effect free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from replicheck_spark.functions import hashing
+from replicheck_spark.functions import minhash as mh
+from replicheck_spark.functions.textnorm import extract_text, normalize_text, tokenize
+
+
+@pandas_udf(T.StringType())
+def extract_normalize(html: pd.Series, text: pd.Series) -> pd.Series:
+    """(html binary, text string) -> normalized extracted text.
+
+    Same code path as the oracle: extract_text -> normalize_text.
+    """
+    out = [
+        normalize_text(extract_text(h, t))
+        for h, t in zip(html.tolist(), text.tolist())
+    ]
+    return pd.Series(out, dtype="object")
+
+
+def signature_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("shingles", T.ArrayType(T.LongType()), False),
+            T.StructField("minhash", T.ArrayType(T.LongType()), False),
+            T.StructField("simhash", T.LongType(), False),
+            T.StructField("bands", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+
+def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, seed: int):
+    """Build the one-pass signature UDF: norm_text -> (shingles, minhash,
+    simhash, band hashes).
+
+    One tokenize + one flattened-batch numpy pass per Arrow batch. Coefficients
+    are derived from the seed at closure-build time on the driver and shipped
+    in the closure — every executor uses the identical matrix (no runtime RNG).
+    uint64 values are reinterpreted as signed int64 for Spark LongType (bit
+    pattern preserved; comparisons only ever test equality except MinHash
+    values which are < 2^61 and therefore stay positive).
+    """
+    coeffs = mh.make_coeffs(num_perm, seed)
+
+    @pandas_udf(signature_schema())
+    def signature(norm_text: pd.Series) -> pd.DataFrame:
+        token_lists = [tokenize(t) if t else [] for t in norm_text.tolist()]
+        flat_tok, tok_off = hashing.hash_token_lists(token_lists)
+        flat_sh, sh_off = hashing.shingle_hashes_flat(flat_tok, tok_off, shingle_k)
+        m = mh.minhash_flat(flat_sh, sh_off, coeffs)        # (n, num_perm) uint64
+        s = mh.simhash_flat(flat_sh, sh_off)                # (n,) uint64
+        b = mh.band_hashes(m, bands, rows)                  # (n, bands) uint64
+        m64 = m.astype(np.int64)
+        b64 = b.astype(np.int64)
+        s64 = s.astype(np.int64)
+        sh64 = flat_sh.astype(np.int64)
+        n = len(token_lists)
+        shingle_col = [
+            sh64[sh_off[i] : sh_off[i + 1]].tolist() for i in range(n)
+        ]
+        return pd.DataFrame(
+            {
+                "shingles": shingle_col,
+                "minhash": [m64[i].tolist() for i in range(n)],
+                "simhash": s64.tolist(),
+                "bands": [b64[i].tolist() for i in range(n)],
+            }
+        )
+
+    return signature
+
+
+def hamming64_col(a, b):
+    """JVM-side Hamming distance between two int64 SimHash columns."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))

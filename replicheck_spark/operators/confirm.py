@@ -1,0 +1,79 @@
+"""Stage CONFIRM: candidate pairs -> confirmed edges.
+
+Exact Jaccard over the stored distinct shingle-hash arrays, entirely JVM-side:
+``size(array_intersect(sa, sb)) / size(array_union(sa, sb))`` — no Python.
+SimHash Hamming distance (``bit_count(xor)``) rides along as the fast-path
+metric. Threshold semantics = the reference's documented-but-unshipped
+pairwise Jaccard at min_similarity (/root/reference/Project.md:50,66;
+constructor default 0.8 at main.py:24-28).
+
+Scale notes: the two joins against `signatures` shuffle by doc_id; AQE handles
+size. At 10^12-doc scale the signatures side is bucketed/partitioned by doc_id
+so both lookups co-locate (in the sandbox, plain shuffle joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from replicheck_spark.config import DedupConfig
+
+
+def confirm_pairs(
+    cand: DataFrame, signatures: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """-> edges(a, b, a_url, b_url, jaccard, hamming, kind='near').
+
+    Keeps pairs with jaccard >= min_similarity, excluding exact duplicates
+    (identical sha256 — those carry kind='exact' from the exact stage).
+    """
+    sig = signatures.select("doc_id", "url", "sha256", "shingles", "simhash")
+    a_side = sig.select(
+        F.col("doc_id").alias("a"),
+        F.col("url").alias("a_url"),
+        F.col("sha256").alias("a_sha"),
+        F.col("shingles").alias("a_sh"),
+        F.col("simhash").alias("a_sim"),
+    )
+    b_side = sig.select(
+        F.col("doc_id").alias("b"),
+        F.col("url").alias("b_url"),
+        F.col("sha256").alias("b_sha"),
+        F.col("shingles").alias("b_sh"),
+        F.col("simhash").alias("b_sim"),
+    )
+    joined = cand.join(a_side, "a").join(b_side, "b")
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return (
+        joined.filter(F.col("a_sha") != F.col("b_sha"))
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn("hamming", F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))))
+        .filter(F.col("jaccard") >= F.lit(cfg.min_similarity))
+        .select("a", "b", "a_url", "b_url", "jaccard", "hamming",
+                F.lit("near").alias("kind"))
+    )
+
+
+def simhash_edges(
+    cand: DataFrame, signatures: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Alternative confirm path: SimHash Hamming <= hamming_max (fast, no
+    shingle arrays shuffled). Exposed as its own operator; the main pipeline
+    uses Jaccard for the recall guarantee."""
+    sig = signatures.select("doc_id", "url", "simhash")
+    a_side = sig.select(F.col("doc_id").alias("a"), F.col("url").alias("a_url"),
+                        F.col("simhash").alias("a_sim"))
+    b_side = sig.select(F.col("doc_id").alias("b"), F.col("url").alias("b_url"),
+                        F.col("simhash").alias("b_sim"))
+    return (
+        cand.join(a_side, "a").join(b_side, "b")
+        .withColumn("hamming", F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))))
+        .filter(F.col("hamming") <= cfg.hamming_max)
+        .select("a", "b", "a_url", "b_url", "hamming", F.lit("simhash").alias("kind"))
+    )

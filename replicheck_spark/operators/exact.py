@@ -1,0 +1,70 @@
+"""Stage EXACT: byte-identical duplicate grouping — the reference's shipped
+semantics (tuple(tokens) grouping with >=2 members, similarity hard-coded 1.0,
+cross-file flag; /root/reference/replicheck/tools/Duplication/
+Duplication.py:34-49) re-expressed as a Catalyst hash aggregation.
+
+Key = sha256(norm_text). Since norm_text is the space-joined token sequence,
+equality of sha256 == equality of the token tuple (modulo a 2^-256 collision).
+
+Scale notes (10^12 docs):
+* the groupBy is a partial+final hash agg — giant identical clusters combine
+  map-side, so skew is absorbed before the shuffle;
+* edges are STAR edges (representative = min doc_id) computed with min_by /
+  join-back, NOT collect_list — no task ever materializes a whole cluster;
+* member lists in the report are capped (`members_cap`) with the true size
+  kept alongside, so a 10^8-member cluster cannot blow the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_groups(elig: DataFrame, members_cap: int = 128) -> DataFrame:
+    """Groups of byte-identical docs: one row per group with >= 2 members.
+
+    Columns: sha256, size (token count), num_duplicates, cross_host,
+    member_urls (sorted, capped), similarity (1.0).
+    """
+    return (
+        elig.groupBy("sha256")
+        .agg(
+            F.count("*").alias("num_duplicates"),
+            F.first("n_tokens").alias("size"),
+            (F.countDistinct("host") > 1).alias("cross_host"),
+            F.slice(F.sort_array(F.collect_list("url")), 1, members_cap).alias(
+                "member_urls"
+            ),
+        )
+        .filter(F.col("num_duplicates") >= 2)
+        .withColumn("similarity", F.lit(1.0))
+    )
+
+
+def exact_edges(elig: DataFrame) -> DataFrame:
+    """Star edges (a=group representative, b=member) for every exact group.
+
+    Connectivity-equivalent to all O(m^2) pairs but linear in group size.
+    Columns: a, b (doc_id, a < b by construction of min), a_url, b_url, kind.
+    """
+    reps = (
+        elig.groupBy("sha256")
+        .agg(
+            F.min_by(F.struct("doc_id", "url"), F.struct("doc_id", "url")).alias("rep"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select("sha256", F.col("rep.doc_id").alias("a"), F.col("rep.url").alias("a_url"))
+    )
+    return (
+        elig.join(reps, "sha256")
+        .filter(F.col("doc_id") != F.col("a"))
+        .select(
+            "a",
+            F.col("doc_id").alias("b"),
+            "a_url",
+            F.col("url").alias("b_url"),
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )

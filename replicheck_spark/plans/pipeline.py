@@ -1,0 +1,141 @@
+"""The full dedup job: EXTRACT -> EXACT -> SIGN -> CANDS -> CONFIRM -> SUBSTR
+-> CLUSTER -> REPORT, each stage checkpointed and skip-if-exists (idempotent
+resume, SURVEY.md §3.4).
+
+Every stage writes its output table under ``ckpt/<run_id>/<stage>`` and its
+counters to the metrics table; on restart with the same run_id, completed
+stages are read back instead of recomputed. The driver touches data only for
+convergence counters and stage totals.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from replicheck_spark.config import DedupConfig
+from replicheck_spark.operators.components import (
+    clusters_from_labels,
+    connected_components,
+)
+from replicheck_spark.operators.confirm import confirm_pairs
+from replicheck_spark.operators.exact import exact_edges, exact_groups
+from replicheck_spark.operators.extract import eligible_docs, extract_docs
+from replicheck_spark.operators.lsh import candidate_pairs, explode_bands
+from replicheck_spark.operators.signatures import compute_signatures
+from replicheck_spark.operators.substr import anchor_pairs, substr_edges
+from replicheck_spark.plans.metrics import MetricsSink, StageTimer
+from replicheck_spark.sources.io import TableIO
+
+EDGE_COLS = ["a", "b", "a_url", "b_url", "jaccard", "hamming", "kind"]
+
+
+@dataclass
+class DedupResult:
+    docs: DataFrame
+    exact_groups: DataFrame
+    edges: DataFrame
+    labels: DataFrame
+    clusters: DataFrame
+    metrics: DataFrame
+
+
+def _norm_edges(df: DataFrame) -> DataFrame:
+    out = df
+    for c in EDGE_COLS:
+        if c not in out.columns:
+            out = out.withColumn(c, F.lit(None))
+    return out.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        "a_url",
+        "b_url",
+        F.col("jaccard").cast("double"),
+        F.col("hamming").cast("int"),
+        "kind",
+    )
+
+
+def run_dedup(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig,
+    ckpt_root: str,
+    run_id: str = "run0",
+    with_substr: bool = True,
+) -> DedupResult:
+    io = TableIO(spark, ckpt_root, run_id)
+    sink = MetricsSink(spark, f"{ckpt_root}/{run_id}/_metrics", run_id)
+
+    def stage(name: str, build, rows_in_df: DataFrame | None = None, dropped=0):
+        """Run (or resume) one stage: build() -> DataFrame, checkpointed."""
+        if io.exists(name):
+            return io.read(name)
+        with StageTimer() as t:
+            out = build()
+            io.write(name, out)
+        out = io.read(name)
+        rows_in = rows_in_df.count() if rows_in_df is not None else 0
+        sink.record_stage(name, out, rows_in, t.wall_ms, dropped=int(dropped))
+        return out
+
+    docs = stage("docs", lambda: extract_docs(pages), pages)
+    elig = eligible_docs(docs, cfg.min_size)
+
+    exact_g = stage("exact_groups", lambda: exact_groups(elig), elig)
+    exact_e = stage("exact_edges", lambda: exact_edges(elig), elig)
+
+    sigs = stage("signatures", lambda: compute_signatures(elig, cfg), elig)
+
+    def build_cands():
+        bands = explode_bands(sigs, cfg)
+        pairs, capped = candidate_pairs(bands, cfg)
+        # capped buckets are data loss candidates: surface the overflow total
+        n_capped = capped.agg(F.sum("overflow")).collect()[0][0] or 0
+        if n_capped:
+            sink.record_stage("cands_capped", capped, 0, 0, dropped=int(n_capped))
+        return pairs
+
+    cands = stage("cand_pairs", build_cands, sigs)
+
+    near_e = stage(
+        "near_edges", lambda: confirm_pairs(cands, sigs, cfg), cands
+    )
+
+    if with_substr:
+        def build_substr():
+            sub_cand, capped = anchor_pairs(sigs, cfg)
+            n_capped = capped.agg(F.sum("overflow")).collect()[0][0] or 0
+            if n_capped:
+                sink.record_stage("substr_capped", capped, 0, 0, dropped=int(n_capped))
+            # skip pairs already confirmed near (cheaper verify)
+            fresh = sub_cand.join(near_e.select("a", "b"), ["a", "b"], "left_anti")
+            return substr_edges(fresh, docs, cfg).drop("run_tokens")
+
+        substr_e = stage("substr_edges", build_substr, sigs)
+    else:
+        substr_e = spark.createDataFrame([], _norm_edges(near_e).schema)
+
+    edges = stage(
+        "edges",
+        lambda: _norm_edges(exact_e)
+        .unionByName(_norm_edges(near_e))
+        .unionByName(_norm_edges(substr_e))
+        .dropDuplicates(["a", "b", "kind"]),
+        near_e,
+    )
+
+    labels = stage("labels", lambda: connected_components(edges), edges)
+    clusters = stage(
+        "clusters", lambda: clusters_from_labels(labels, docs), labels
+    )
+
+    return DedupResult(
+        docs=docs,
+        exact_groups=exact_g,
+        edges=edges,
+        labels=labels,
+        clusters=clusters,
+        metrics=sink.read(),
+    )

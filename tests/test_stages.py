@@ -1,0 +1,242 @@
+"""Per-stage Spark tests: extract parity with the oracle, exact grouping
+contract (reference test_detector.py:8-33 analog), signature UDF == direct
+numpy functions, LSH candidates, confirm, connected components, substring."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from replicheck_spark.config import DedupConfig
+from replicheck_spark.functions import hashing
+from replicheck_spark.functions import minhash as mh
+from replicheck_spark.functions.textnorm import normalize_text, tokenize
+from replicheck_spark.operators.components import connected_components
+from replicheck_spark.operators.confirm import confirm_pairs
+from replicheck_spark.operators.exact import exact_edges, exact_groups
+from replicheck_spark.operators.extract import (
+    audit_doc_id_collisions,
+    eligible_docs,
+    extract_docs,
+)
+from replicheck_spark.operators.lsh import candidate_pairs, explode_bands
+from replicheck_spark.operators.signatures import compute_signatures
+from replicheck_spark.operators.substr import (
+    anchor_pairs,
+    longest_common_run_hashed,
+    substr_edges,
+)
+
+CFG = DedupConfig()
+
+
+class TestExtract:
+    def test_extraction_byte_identical_to_oracle(self, spark, pages_small, oracle_small):
+        pages, _, _ = pages_small
+        docs = extract_docs(pages)
+        got = {r["url"]: r["norm_text"] for r in docs.collect()}
+        assert got == oracle_small.norm_texts
+
+    def test_n_tokens_and_sha(self, spark, pages_small, oracle_small):
+        pages, _, _ = pages_small
+        docs = extract_docs(pages).collect()
+        for r in docs:
+            assert r["n_tokens"] == len(oracle_small.docs[r["url"]])
+        assert audit_doc_id_collisions(extract_docs(pages)) == 0
+
+    def test_host_extraction(self, spark, pages_small):
+        pages, _, _ = pages_small
+        row = extract_docs(pages).select("url", "host").first()
+        from replicheck_spark.functions.textnorm import host_of
+        assert row["host"] == host_of(row["url"])
+
+
+class TestExact:
+    def test_detector_contract(self, spark):
+        """3 docs, 2 identical -> exactly 1 group, similarity 1.0, cross-host
+        (mirror of /root/reference/tests/test_detector.py:8-33)."""
+        text = " ".join(f"t{i}" for i in range(60))
+        other = " ".join(f"z{i}" for i in range(60))
+        pdf = spark.createDataFrame(
+            [
+                ("https://a.example/1", None, None, text, "en"),
+                ("https://b.example/2", None, None, text, "en"),
+                ("https://a.example/3", None, None, other, "en"),
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        elig = eligible_docs(extract_docs(pdf), 50)
+        groups = exact_groups(elig).collect()
+        assert len(groups) == 1
+        g = groups[0]
+        assert g["num_duplicates"] == 2
+        assert g["similarity"] == 1.0
+        assert g["cross_host"] is True
+        assert g["size"] == 60
+        edges = exact_edges(elig).collect()
+        assert len(edges) == 1
+        assert edges[0]["kind"] == "exact"
+
+    def test_min_size_filter(self, spark):
+        tiny = " ".join(f"t{i}" for i in range(10))
+        pdf = spark.createDataFrame(
+            [("u1", None, None, tiny, "en"), ("u2", None, None, tiny, "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        elig = eligible_docs(extract_docs(pdf), 50)
+        assert exact_groups(elig).count() == 0
+
+    def test_matches_oracle_groups(self, spark, pages_small, oracle_small):
+        pages, _, _ = pages_small
+        elig = eligible_docs(extract_docs(pages), 50)
+        got = {
+            tuple(g["member_urls"]): (g["num_duplicates"], g["cross_host"])
+            for g in exact_groups(elig).collect()
+        }
+        want = {
+            tuple(g["urls"]): (g["num_duplicates"], g["cross_host"])
+            for g in oracle_small.exact_groups
+        }
+        assert got == want
+
+
+class TestSignatures:
+    def test_udf_matches_direct_numpy(self, spark, pages_small):
+        pages, _, _ = pages_small
+        elig = eligible_docs(extract_docs(pages), 50)
+        sigs = compute_signatures(elig, CFG)
+        sample = sigs.join(
+            elig.select("doc_id", "norm_text"), "doc_id"
+        ).limit(20).collect()
+        coeffs = mh.make_coeffs(CFG.num_perm, CFG.seed)
+        for r in sample:
+            toks = tokenize(r["norm_text"])
+            sh = hashing.shingle_hash_set(toks, CFG.shingle_k)
+            off = np.array([0, len(sh)])
+            m = mh.minhash_flat(sh, off, coeffs)[0].astype(np.int64)
+            s = int(mh.simhash_flat(sh, off)[0].astype(np.int64))
+            b = mh.band_hashes(m.astype(np.uint64).reshape(1, -1),
+                               CFG.lsh_bands, CFG.lsh_rows)[0].astype(np.int64)
+            assert sorted(r["shingles"]) == sorted(sh.astype(np.int64).tolist())
+            assert r["minhash"] == m.tolist()
+            assert r["simhash"] == s
+            assert r["bands"] == b.tolist()
+
+    def test_identical_docs_identical_bands(self, spark):
+        text = " ".join(f"t{i}" for i in range(100))
+        pdf = spark.createDataFrame(
+            [("u1", None, None, text, "en"), ("u2", None, None, text, "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        sigs = compute_signatures(eligible_docs(extract_docs(pdf), 50), CFG).collect()
+        assert sigs[0]["bands"] == sigs[1]["bands"]
+        assert sigs[0]["minhash"] == sigs[1]["minhash"]
+
+
+class TestLshConfirm:
+    def test_near_pair_found_and_confirmed(self, spark):
+        base = [f"t{i}" for i in range(200)]
+        near = list(base)
+        near[10] = "x"
+        near[100] = "y"  # 2 edits -> jaccard ~ (200-10)/(200+10) ~ 0.9
+        far = [f"q{i}" for i in range(200)]
+        pdf = spark.createDataFrame(
+            [
+                ("https://a.example/1", None, None, " ".join(base), "en"),
+                ("https://b.example/2", None, None, " ".join(near), "en"),
+                ("https://c.example/3", None, None, " ".join(far), "en"),
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        elig = eligible_docs(extract_docs(pdf), 50)
+        sigs = compute_signatures(elig, CFG)
+        bands = explode_bands(sigs, CFG)
+        cands, capped = candidate_pairs(bands, CFG)
+        cand_rows = cands.collect()
+        assert len(cand_rows) >= 1
+        edges = confirm_pairs(cands, sigs, CFG).collect()
+        assert len(edges) == 1
+        e = edges[0]
+        assert {e["a_url"], e["b_url"]} == {"https://a.example/1", "https://b.example/2"}
+        assert e["jaccard"] >= 0.8
+        assert e["kind"] == "near"
+
+    def test_exact_dups_suppressed_in_bands(self, spark):
+        """Identical docs must NOT generate LSH candidate pairs (the exact
+        stage owns them) — this is the giant-cluster skew guard."""
+        text = " ".join(f"t{i}" for i in range(100))
+        rows = [(f"https://h{i}.example/{i}", None, None, text, "en") for i in range(20)]
+        pdf = spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        elig = eligible_docs(extract_docs(pdf), 50)
+        sigs = compute_signatures(elig, CFG)
+        cands, _ = candidate_pairs(explode_bands(sigs, CFG), CFG)
+        assert cands.count() == 0
+
+    def test_bucket_cap_logged_not_silent(self, spark):
+        cfg = DedupConfig(bucket_cap=2, salt_buckets=1)
+        base = [f"t{i}" for i in range(100)]
+        rows = []
+        for i in range(8):  # 8 distinct near-identical docs -> one bucket
+            v = list(base)
+            v[0] = f"v{i}"
+            rows.append((f"https://h{i}.example/{i}", None, None, " ".join(v), "en"))
+        pdf = spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        sigs = compute_signatures(eligible_docs(extract_docs(pdf), 50), cfg)
+        cands, capped = candidate_pairs(explode_bands(sigs, cfg), cfg)
+        assert capped.count() > 0
+        assert (capped.agg(F.sum("overflow")).collect()[0][0] or 0) > 0
+
+
+class TestComponents:
+    def test_chain_converges_to_min(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+        )
+        labels = {r["doc_id"]: r["cluster_id"]
+                  for r in connected_components(edges).collect()}
+        assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_star_and_cycle(self, spark):
+        edges = spark.createDataFrame(
+            [(5, 1), (5, 2), (5, 3), (7, 8), (8, 9), (9, 7)], "a long, b long"
+        )
+        labels = {r["doc_id"]: r["cluster_id"]
+                  for r in connected_components(edges).collect()}
+        assert labels == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 8: 7, 9: 7}
+
+
+class TestSubstr:
+    def test_longest_common_run_hashed(self):
+        a = [1, 2, 3, 4, 5, 6]
+        b = [9, 3, 4, 5, 8]
+        assert longest_common_run_hashed(a, b) == 3
+        assert longest_common_run_hashed([], b) == 0
+        assert longest_common_run_hashed(a, a) == 6
+
+    def test_substr_pair_detected(self, spark):
+        import random
+        rng = random.Random(1)
+        shared = [f"s{i}" for i in range(80)]
+        a = [f"a{i}" for i in range(150)] + shared + [f"aa{i}" for i in range(150)]
+        b = [f"b{i}" for i in range(150)] + shared + [f"bb{i}" for i in range(150)]
+        c = [f"c{i}" for i in range(300)]
+        pdf = spark.createDataFrame(
+            [
+                ("https://a.example/1", None, None, " ".join(a), "en"),
+                ("https://b.example/2", None, None, " ".join(b), "en"),
+                ("https://c.example/3", None, None, " ".join(c), "en"),
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        docs = extract_docs(pdf)
+        elig = eligible_docs(docs, 50)
+        sigs = compute_signatures(elig, CFG)
+        cand, capped = anchor_pairs(sigs, CFG)
+        edges = substr_edges(cand, docs, CFG).collect()
+        assert len(edges) == 1
+        assert edges[0]["run_tokens"] == 80
+        assert edges[0]["kind"] == "substr"
