@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship MinHash-LSH dedup over the sf0.001 documents table.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+training-data-pipeline ops); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
+
+Column-name and value parity rules used throughout (driver compares sorted
+columns by value hash):
+* every computed column aliased identically on both sides;
+* compared floats are either integer-derived divisions (bit-identical) or
+  order-deterministic prefix sums; unordered double sums go through integer
+  cents; approximate/rank outputs expose integer ranks, not raw cosines;
+* non-SQL-expressible ops (MinHash internals, SimHash, fingerprints, ANN
+  buckets) omit the oracle -> driver does the weaker rows-only check, except
+  minhash_lsh_pairs whose *output contract* (exact Jaccard >= t among
+  distinct-text pairs) IS SQL-expressible and is checked against the exact
+  ngram join (miss probability ~5e-8 per pair at the default band config).
 """
 
 from __future__ import annotations
@@ -14,25 +25,413 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: MinHash-LSH near-duplicate pairs on sf0.001 documents."""
+    from replicheck_spark.config import DedupConfig
+    from replicheck_spark.operators.dedup_ops import minhash_lsh_pairs
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return minhash_lsh_pairs(docs, DedupConfig())
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pyspark.sql import Window, functions as F
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from replicheck_spark.config import DedupConfig
+    from replicheck_spark.operators import dedup_ops, multimodal, similarity, textops
+
+    cfg = DedupConfig()
+
+    def docs(spark, sf):
+        return _t(spark, sf, "documents")
+
+    def q_doc_stats(spark, sf):
+        return textops.doc_stats(docs(spark, sf))
+
+    def q_token_count_regex(spark, sf):
+        return textops.token_count_regex(docs(spark, sf))
+
+    def q_large_docs_topk(spark, sf):
+        return textops.large_docs_topk(docs(spark, sf), k=10)
+
+    def q_severity_buckets(spark, sf):
+        return textops.severity_buckets(docs(spark, sf), threshold=100)
+
+    def q_keyword_scan(spark, sf):
+        return textops.keyword_scan(docs(spark, sf))
+
+    def q_lang_summary(spark, sf):
+        return textops.lang_summary(docs(spark, sf))
+
+    def q_lang_id(spark, sf):
+        return textops.lang_id_ngram(docs(spark, sf))
+
+    def q_quality(spark, sf):
+        return textops.quality_score(docs(spark, sf))
+
+    def q_top_tokens(spark, sf):
+        return textops.top_tokens(docs(spark, sf), k=20)
+
+    def q_fingerprint(spark, sf):
+        return textops.fingerprint(docs(spark, sf))
+
+    def q_exact_dup_groups(spark, sf):
+        return dedup_ops.exact_dup_groups(docs(spark, sf))
+
+    def q_exact_dedup_keep_first(spark, sf):
+        return dedup_ops.exact_dedup_keep_first(docs(spark, sf))
+
+    def q_ngram_jaccard_pairs(spark, sf):
+        return dedup_ops.ngram_jaccard_pairs(docs(spark, sf), k=5, threshold=0.8)
+
+    def q_minhash_lsh_pairs(spark, sf):
+        return dedup_ops.minhash_lsh_pairs(docs(spark, sf), cfg)
+
+    def q_simhash_pairs(spark, sf):
+        return dedup_ops.simhash_pairs(docs(spark, sf), cfg)
+
+    def q_knn_bruteforce(spark, sf):
+        return similarity.knn_bruteforce(_t(spark, sf, "embeddings"), 10, 5)
+
+    def q_knn_lsh(spark, sf):
+        return similarity.knn_lsh(_t(spark, sf, "embeddings"), dim=64, n_queries=10, k=5)
+
+    def q_embedding_dup_pairs(spark, sf):
+        return similarity.embedding_dup_pairs(_t(spark, sf, "embeddings"), 0.95)
+
+    def q_media_stats(spark, sf):
+        return multimodal.media_stats(multimodal.media_from_documents(docs(spark, sf)))
+
+    def q_media_features(spark, sf):
+        feats = multimodal.extract_features(
+            multimodal.media_from_documents(docs(spark, sf))
+        )
+        return feats.select("media_id", "kind", "n_bytes", "sha256")
+
+    def q_events_running(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("rn"),
+            F.sum("value").over(w).alias("running_value"),
+        )
+
+    def q_event_type_summary(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    def q_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                    "sum_price_cents"
+                ),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    def q_top_customers(spark, sf):
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        rev = (
+            orders.groupBy("o_custkey")
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "revenue_cents"
+                ),
+                F.count("*").alias("n_orders"),
+            )
+        )
+        return (
+            rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "revenue_cents", "n_orders")
+            .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+            .limit(10)
+        )
+
+    return {
+        "doc_stats": q_doc_stats,
+        "token_count_regex": q_token_count_regex,
+        "large_docs_topk": q_large_docs_topk,
+        "severity_buckets": q_severity_buckets,
+        "keyword_scan": q_keyword_scan,
+        "lang_summary": q_lang_summary,
+        "lang_id_ngram": q_lang_id,
+        "quality_score": q_quality,
+        "top_tokens": q_top_tokens,
+        "doc_fingerprint": q_fingerprint,
+        "exact_dup_groups": q_exact_dup_groups,
+        "exact_dedup_keep_first": q_exact_dedup_keep_first,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_lsh": q_knn_lsh,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "media_stats": q_media_stats,
+        "media_features": q_media_features,
+        "events_running": q_events_running,
+        "event_type_summary": q_event_type_summary,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+    }
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, text,
+         list_distinct([array_to_string(t[i:i+4], ' ')
+                        for i in range(1, greatest(len(t)-3, 2))]) AS s
+  FROM toks
+),
+ex AS (SELECT doc_id, text, unnest(s) AS shingle, len(s) AS n FROM sh),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter,
+         any_value(x.n) AS na, any_value(y.n) AS nb,
+         any_value(x.text) AS a_text, any_value(y.text) AS b_text
+  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    kw_list = "['dup','slow','fast']"
+    langs = {
+        "de": "['der','die','das','und','ist']",
+        "en": "['the','a','of','and','to']",
+        "es": "['el','los','las','y','es']",
+        "fr": "['le','la','les','et','est']",
+    }
+    score_cols = ", ".join(
+        f"len(list_filter({_TOKS}, x -> list_contains({ws}, x))) AS score_{lang}"
+        for lang, ws in langs.items()
+    )
+    best = "greatest(score_de, score_en, score_es, score_fr)"
+    pred = (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in sorted(langs)
+        )
+        + " ELSE 'und' END"
+    )
+    stop = "['the','a','of','and','to','in','is','for','on','with']"
+    kind_case = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'image' "
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+    )
+
+    return {
+        "doc_stats": f"""
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   length(text) AS n_chars_calc,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE) AS avg_token_len
+            FROM documents
+        """,
+        "token_count_regex": rf"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\w+|[^\s\w]')) AS n_regex_tokens,
+                   len({_TOKS}) AS n_ws_tokens
+            FROM documents
+        """,
+        "large_docs_topk": f"""
+            SELECT doc_id, len({_TOKS}) AS n_tokens
+            FROM documents
+            ORDER BY n_tokens DESC, doc_id ASC
+            LIMIT 10
+        """,
+        "severity_buckets": f"""
+            SELECT severity, count(*) AS n_docs FROM (
+                SELECT CASE
+                    WHEN len({_TOKS}) / 100.0 >= 3.0 THEN 'Critical'
+                    WHEN len({_TOKS}) / 100.0 >= 2.0 THEN 'High'
+                    WHEN len({_TOKS}) / 100.0 >= 1.5 THEN 'Medium'
+                    WHEN len({_TOKS}) / 100.0 >= 1.0 THEN 'Low'
+                    ELSE 'None' END AS severity
+                FROM documents
+            ) GROUP BY severity
+        """,
+        "keyword_scan": f"""
+            SELECT kw AS keyword,
+                   CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                   CAST(sum(hits) AS BIGINT) AS n_hits
+            FROM (
+                SELECT k.kw,
+                       len(list_filter({_TOKS}, x -> x = k.kw)) AS hits
+                FROM documents, (SELECT unnest({kw_list}) AS kw) k
+            )
+            GROUP BY kw
+        """,
+        "lang_summary": f"""
+            SELECT lang, count(*) AS n_docs, avg(len({_TOKS})) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "lang_id_ngram": f"""
+            SELECT doc_id, labeled_lang, {pred} AS pred_lang FROM (
+                SELECT doc_id, lang AS labeled_lang, {score_cols}
+                FROM documents
+            )
+        """,
+        "quality_score": f"""
+            SELECT doc_id, n_tokens, stop_hits,
+                   (CASE WHEN n_tokens >= 50 AND n_tokens <= 1000 THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN mean_wlen >= 2.0 AND mean_wlen <= 12.0 THEN 0.25 ELSE 0.0 END
+                    + CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END) AS quality
+            FROM (
+                SELECT doc_id,
+                       len({_TOKS}) AS n_tokens,
+                       len(list_filter({_TOKS}, x -> list_contains({stop}, x))) AS stop_hits,
+                       CAST(len(list_filter({_TOKS}, x -> list_contains({stop}, x))) AS DOUBLE)
+                         / CAST(len({_TOKS}) AS DOUBLE) AS stop_ratio,
+                       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / CAST(len({_TOKS}) AS DOUBLE) AS mean_wlen,
+                       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                         / CAST(greatest(length(replace(text, ' ', '')), 1) AS DOUBLE) AS alpha_ratio
+                FROM documents
+            )
+        """,
+        "top_tokens": f"""
+            SELECT token, count(*) AS freq
+            FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+            GROUP BY token
+            ORDER BY freq DESC, token ASC
+            LIMIT 20
+        """,
+        "exact_dup_groups": """
+            SELECT sha256(text) AS text_sha,
+                   count(*) AS n_dups,
+                   list_sort(list(doc_id)) AS doc_ids,
+                   count(DISTINCT source) > 1 AS cross_source
+            FROM documents
+            GROUP BY text
+            HAVING count(*) >= 2
+        """,
+        "exact_dedup_keep_first": """
+            SELECT sha256(text) AS text_sha,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM documents
+            GROUP BY text
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT a, b,
+                   CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+            FROM inter
+            WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.8
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_SHINGLES_CTE}
+            SELECT a, b,
+                   CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+            FROM inter
+            WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.8
+              AND a_text <> b_text
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                       FROM embeddings WHERE vec_id < 10),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.q_emb, e.embedding) AS cos
+                FROM q, embeddings e
+                WHERE e.vec_id != q.query_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM s
+            ) WHERE rank <= 5
+        """,
+        "embedding_dup_pairs": """
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM embeddings x, embeddings y
+            WHERE x.vec_id < y.vec_id
+              AND list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+        """,
+        "media_stats": f"""
+            SELECT {kind_case} AS kind,
+                   count(*) AS n_items,
+                   sum(octet_length(encode(text))) AS total_bytes,
+                   min(octet_length(encode(text))) AS min_bytes,
+                   max(octet_length(encode(text))) AS max_bytes
+            FROM documents
+            GROUP BY 1
+        """,
+        "media_features": f"""
+            SELECT doc_id AS media_id,
+                   {kind_case} AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        "events_running": """
+            SELECT event_id, user_id,
+                   row_number() OVER w AS rn,
+                   sum(value) OVER w AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "event_type_summary": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, revenue_cents, n_orders FROM (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                       count(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            ) r JOIN customer ON r.o_custkey = customer.c_custkey
+            ORDER BY revenue_cents DESC, c_custkey ASC
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,164 @@
+"""Deduplication operator family over a generic `documents` table
+(doc_id, text, lang, source, ...) — the training-data-pipeline face of the
+engine. Five methods, same contract: emit duplicate groups or pairs.
+
+* exact: hash-groupBy on sha256(text) (reference Duplication.py:34-46 analog)
+* ngram-Jaccard: EXACT k-shingle Jaccard via a shingle equi-join — fully
+  JVM-side, SQL-expressible (carries a DuckDB oracle)
+* MinHash+LSH: the scalable path (signature UDF -> bands -> confirm)
+* SimHash: Hamming-radius near-dup over 64-bit sketches
+* embedding-cosine near-dup lives in operators/similarity.py
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from replicheck_spark.config import DedupConfig
+from replicheck_spark.functions.udfs import make_signature_udf
+from replicheck_spark.operators.confirm import confirm_pairs
+from replicheck_spark.operators.lsh import candidate_pairs, explode_bands
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical raw text: (text_sha, n_dups, doc_ids sorted,
+    cross_source)."""
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            (F.countDistinct("source") > 1).alias("cross_source"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Canonical selection: one surviving doc_id per distinct text (min doc_id)
+    — the 'dedup the corpus' action. Hash agg, no window, no collect."""
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("text_sha"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _shingles_df(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, shingle string, n_shingles) — distinct k-shingles via JVM array
+    expressions (sequence + slice + concat_ws), no Python."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    with_sh = docs.select("doc_id", sh.alias("shingles")).withColumn(
+        "n_shingles", F.size("shingles")
+    )
+    return with_sh.select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """EXACT Jaccard >= threshold over k-shingles: inverted-index equi-join on
+    shingle -> per-pair intersection count -> jaccard filter.
+
+    Scale notes: the join shuffles on the shingle value — high-frequency
+    shingles (boilerplate) are the skew source; AQE skew-join splits them, and
+    the downstream pair hash-agg combines map-side. This is the quadratic-free
+    exact method; MinHash+LSH below is the sublinear approximation.
+    """
+    e = _shingles_df(docs, k)
+    a = e.select(
+        F.col("doc_id").alias("a"), F.col("n_shingles").alias("na"), "shingle"
+    )
+    b = e.select(
+        F.col("doc_id").alias("b"), F.col("n_shingles").alias("nb"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, cfg: DedupConfig, threshold: float | None = None
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard confirm over a
+    documents table (raw text, no min-size gate): (a, b, jaccard).
+
+    At the default config (128 perms, 32 bands x 4 rows) the miss probability
+    at jaccard 0.8 is (1-0.8^4)^32 ~ 5e-8, so on non-adversarial data this
+    equals ngram_jaccard_pairs — which is exactly what the driver's DuckDB
+    oracle checks.
+    """
+    cfg = cfg if threshold is None else DedupConfig(
+        **{**cfg.to_dict(), "min_similarity": threshold}
+    )
+    sig_udf = make_signature_udf(
+        cfg.shingle_k, cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.seed
+    )
+    sigs = (
+        docs.select(
+            F.col("doc_id"),
+            F.col("doc_id").cast("string").alias("url"),
+            F.sha2("text", 256).alias("sha256"),
+            sig_udf(F.col("text")).alias("sig"),
+        )
+        .select(
+            "doc_id", "url", "sha256",
+            F.col("sig.shingles").alias("shingles"),
+            F.col("sig.minhash").alias("minhash"),
+            F.col("sig.simhash").alias("simhash"),
+            F.col("sig.bands").alias("bands"),
+        )
+    )
+    cands, _ = candidate_pairs(explode_bands(sigs, cfg), cfg)
+    edges = confirm_pairs(cands, sigs, cfg)
+    return edges.select("a", "b", "jaccard")
+
+
+def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """SimHash near-dup pairs: LSH candidates filtered by Hamming <=
+    hamming_max: (a, b, hamming). Rows-only correctness check (SimHash is not
+    SQL-expressible)."""
+    sig_udf = make_signature_udf(
+        cfg.shingle_k, cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.seed
+    )
+    sigs = docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("sha256"),
+        sig_udf(F.col("text")).alias("sig"),
+    ).select(
+        "doc_id", "sha256",
+        F.col("sig.simhash").alias("simhash"),
+        F.col("sig.bands").alias("bands"),
+    )
+    cands, _ = candidate_pairs(explode_bands(sigs, cfg), cfg)
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("a_sim"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("b_sim"))
+    return (
+        cands.join(a, "a")
+        .join(b, "b")
+        .withColumn("hamming", F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))))
+        .filter(F.col("hamming") <= cfg.hamming_max)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over an embedding column (`embeddings` table:
+vec_id bigint, embedding array<float>, label int).
+
+* brute-force cosine top-k: JVM-side zip_with/aggregate dot products — the
+  correctness baseline, O(Q*N) but fully distributed (query side broadcast).
+* random-hyperplane LSH buckets: the scale path — sign-bit sketch over seeded
+  hyperplanes groups vectors into buckets; candidates only within a bucket.
+  At 10^12 vectors the bucket join replaces the full cross product; recall is
+  tunable via n_planes / n_tables.
+* embedding near-dup pairs: cosine >= threshold among all pairs (broadcast
+  the smaller side / AQE otherwise).
+
+Rank outputs are integer; cosine values are kept out of oracle-compared
+columns (float summation order differs across engines — ranks don't).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from replicheck_spark.functions.hashing import U64
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(c: str):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a: str, b: str):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Top-k cosine neighbors for the first n_queries vectors (vec_id <
+    n_queries): (query_id, neighbor_id, rank). Query side is tiny ->
+    broadcast; candidate scan is one pass over the corpus."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_col("q_emb", "c_emb"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate vector pairs: cosine >= threshold, a < b.
+
+    Sandbox: plain self-join (AQE). Scale path: run `lsh_bucket_candidates`
+    first and confirm only within buckets.
+    """
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos", cosine_col("a_emb", "b_emb"))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b")
+    )
+
+
+def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes (deterministic, built on the driver)."""
+    rs = np.random.RandomState(seed)
+    return rs.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket_candidates(
+    emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string of `n_planes` dot
+    products; candidate pairs generated within buckets only.
+
+    -> (a, b) candidate pairs. JVM-side: the plane matrix enters the plan as
+    a literal array; dots via aggregate/zip_with; no Python.
+    """
+    planes = make_hyperplanes(dim, n_planes, seed)
+    bits = []
+    for p in planes:
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), plane_lit,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bucketed = emb.select(
+        "vec_id", F.concat(*bits).alias("bucket")
+    )
+    grouped = (
+        bucketed.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .withColumn("ids", F.slice("ids", 1, bucket_cap))
+        .filter(F.size("ids") >= 2)
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda x: F.transform(
+                                F.col("ids"),
+                                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                            ),
+                        )
+                    ),
+                    lambda s: s["a"] < s["b"],
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def knn_lsh(
+    emb: DataFrame, dim: int, n_queries: int = 10, k: int = 5,
+    n_planes: int = 8, seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via hyperplane buckets: exact cosine only against same-bucket
+    candidates. Rows-only check (approximate by construction)."""
+    cands = lsh_bucket_candidates(emb, dim, n_planes=n_planes, seed=seed)
+    pairs = cands.unionByName(
+        cands.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).filter(F.col("a") < n_queries)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"))
+    scored = (
+        pairs.join(a, "a").join(b, "b")
+        .withColumn("cos", cosine_col("a_emb", "b_emb"))
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("a").alias("query_id"), F.col("b").alias("neighbor_id"), "rank")
+    )

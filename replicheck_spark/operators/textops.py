@@ -1,0 +1,230 @@
+"""Text-analysis operators for training-data pipelines, over a `documents`
+table (doc_id, text, lang, source, n_chars).
+
+All JVM-side built-ins (whole-stage codegen) except the fingerprint, which is
+a genuinely-custom rolling-hash op (pandas UDF). Every operator is exposed in
+``__spark_entry__.queries()``; the SQL-expressible ones carry DuckDB oracles.
+
+Reference parity: these are the web-text analogs of the reference's per-row
+scalar analyses — token counting (/root/reference/replicheck/tools/
+LargeDetection/LF.py:27-30 regex counting), severity bucketing
+(utils.py:58-77), TODO/FIXME keyword scanning (tools/TodoFixme/TDFM.py:70-73),
+top-N large files (LF.py:88-91).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+# Reference token-count regex for non-AST languages (LF.py:27-30): \w+|[^\s\w]
+TOKEN_REGEX = r"\w+|[^\s\w]"
+
+# deterministic per-language marker words (heuristic language ID; the fixture
+# corpus is synthetic so markers are the handful of real stopwords in it)
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens of a raw text column (JVM split, no UDF)."""
+    return F.split(F.col(text_col), " ")
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc size stats: n_tokens, n_chars_calc, avg_token_len."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(tokens_col()).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def token_count_regex(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting via the reference's regex (LF.py:27-30)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0)).alias(
+            "n_regex_tokens"
+        ),
+        F.size(tokens_col()).alias("n_ws_tokens"),
+    )
+
+
+def large_docs_topk(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k largest docs by token count (reference LF.py:88-91 / T1).
+
+    Deterministic tiebreak by doc_id; Catalyst plans TakeOrderedAndProject.
+    """
+    return (
+        docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def severity_buckets(docs: DataFrame, threshold: int = 100) -> DataFrame:
+    """Severity classification on token_count/threshold ratio — the exact
+    bucket ladder of reference utils.py:58-77 (>=3 Critical, >=2 High,
+    >=1.5 Medium, >=1 Low, else None)."""
+    ratio = F.size(tokens_col()).cast("double") / F.lit(float(threshold))
+    sev = (
+        F.when(ratio >= 3.0, "Critical")
+        .when(ratio >= 2.0, "High")
+        .when(ratio >= 1.5, "Medium")
+        .when(ratio >= 1.0, "Low")
+        .otherwise("None")
+    )
+    return (
+        docs.select(sev.alias("severity"))
+        .groupBy("severity")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def keyword_scan(docs: DataFrame, keywords: tuple[str, ...] = ("dup", "slow", "fast")) -> DataFrame:
+    """Keyword hit counting (TODO/FIXME analog, TDFM.py:70-73): for each
+    keyword, docs containing it as a whitespace token + total occurrences."""
+    toks = tokens_col()
+    out = None
+    for kw in keywords:
+        hits = F.size(F.filter(toks, lambda t: t == F.lit(kw)))
+        cur = docs.select(
+            F.lit(kw).alias("keyword"),
+            F.when(hits > 0, 1).otherwise(0).alias("has"),
+            hits.alias("hits"),
+        )
+        out = cur if out is None else out.unionByName(cur)
+    return out.groupBy("keyword").agg(
+        F.sum("has").cast("long").alias("n_docs"),
+        F.sum("hits").cast("long").alias("n_hits"),
+    )
+
+
+def lang_summary(docs: DataFrame) -> DataFrame:
+    """Per-language doc counts + mean token count."""
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens_col())).alias("avg_tokens"),
+    )
+
+
+def lang_id_ngram(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: score = marker-token occurrences per language,
+    predict argmax (ties -> lexicographically first language, 'und' if all 0).
+
+    Fully deterministic and SQL-expressible, so it carries a DuckDB oracle.
+    """
+    toks = tokens_col()
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(ws))).alias(f"score_{lang}")
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # first language (sorted) achieving the max wins; fold right-to-left
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), pred.alias("pred_lang")
+    )
+
+
+def quality_score(docs: DataFrame, min_tokens: int = 50, max_tokens: int = 1000) -> DataFrame:
+    """Web-text quality scoring: length band, stopword ratio, mean word len,
+    alpha ratio — the standard heuristic-filter family, all JVM expressions.
+
+    score in [0,1]: 0.25*len_ok + 0.25*stopword_band + 0.25*wordlen_band +
+    0.25*alpha_band (integer-derived arithmetic, bit-identical in SQL).
+    """
+    toks = tokens_col()
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    alpha_chars = F.length(F.regexp_replace("text", r"[^a-zA-Z]", ""))
+    nonspace = F.length(F.regexp_replace("text", " ", ""))
+    stop_ratio = stop_hits.cast("double") / n.cast("double")
+    mean_wlen = nonspace.cast("double") / n.cast("double")
+    alpha_ratio = alpha_chars.cast("double") / F.greatest(nonspace, F.lit(1)).cast("double")
+    score = (
+        F.when((n >= min_tokens) & (n <= max_tokens), 0.25).otherwise(0.0)
+        + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6), 0.25).otherwise(0.0)
+        + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 0.25).otherwise(0.0)
+        + F.when(alpha_ratio >= 0.6, 0.25).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        score.alias("quality"),
+    )
+
+
+def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Global token frequency top-k (explode -> hash agg -> top-k)."""
+    return (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(k)
+    )
+
+
+_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fingerprint", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def fingerprint(docs: DataFrame, k: int = 5, window: int = 8) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer et al. '03): k-gram rolling
+    hashes, keep the min hash of every `window`-sized sliding window (rightmost
+    min), distinct + sorted. Non-SQL-expressible -> rows-only oracle check."""
+    from replicheck_spark.functions import hashing
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _fp(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts.tolist():
+            toks = (t or "").split(" ")
+            flat, off = hashing.hash_token_lists([toks])
+            # ordered (non-distinct) k-gram hashes
+            n = len(toks)
+            if n < k:
+                out.append([])
+                continue
+            acc = flat[: n - k + 1].copy()
+            for j in range(1, k):
+                acc = (acc * np.uint64(0x100000001B3) + flat[j : n - k + 1 + j]) & np.uint64(
+                    0xFFFFFFFFFFFFFFFF
+                )
+            acc = hashing.splitmix64(acc)
+            if len(acc) <= window:
+                sel = {int(acc.min())}
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(acc, window)
+                sel = set(w.min(axis=1).tolist())
+            signed = np.fromiter(sel, dtype=np.uint64).astype(np.int64)
+            out.append(sorted(signed.tolist()))
+        return pd.Series(out)
+
+    return docs.select("doc_id", _fp(F.col("text")).alias("fingerprint"))
