@@ -1,0 +1,195 @@
+#!/usr/bin/env python3
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+``--scaling`` mode (north-rule evidence): run the full dedup pipeline on the
+same synthesized corpus at local[8] and local[32], report throughput at both
+plus scaling efficiency, and write BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Headline queries: the dedup/text/similarity core, timed via count()."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    names = [
+        "exact_dedup_keep_first",
+        "doc_stats",
+        "quality_score",
+        "top_tokens",
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "simhash_pairs",
+        "doc_fingerprint",
+        "knn_bruteforce",
+        "embedding_dup_pairs",
+        "events_running",
+        "pricing_summary",
+    ]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        q[name](spark, sf_dir).count()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def _bench_pipeline(spark, pages_path: str, ckpt: str, run_id: str) -> tuple[float, int]:
+    """Full dedup pipeline wall time + doc count (fresh checkpoint)."""
+    from replicheck_spark.config import DedupConfig
+    from replicheck_spark.plans.pipeline import run_dedup
+
+    pages = spark.read.parquet(pages_path)
+    t0 = time.monotonic()
+    result = run_dedup(
+        spark, pages, DedupConfig(), ckpt, run_id=run_id, collect_metrics=False
+    )
+    result.clusters.count()
+    wall = time.monotonic() - t0
+    n_docs = pages.count()
+    return wall, n_docs
+
+
+def main_default(args) -> None:
+    from replicheck_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(
+        "replicheck_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) * 2,
+    )
+    queries = _bench_queries(spark, sf_dir)
+
+    # flagship pipeline on a synthesized corpus sized to the SF point
+    sf = _sf_of(sf_dir)
+    n_docs = max(int((sf if sf > 0 else 0.1) * 200_000), 2000)
+    from replicheck_spark.corpus import write_pages_parquet
+
+    tmp = tempfile.mkdtemp(prefix="bench_")
+    pages_path = os.path.join(tmp, "pages.parquet")
+    write_pages_parquet(pages_path, n_docs=n_docs, seed=42)
+    wall, n = _bench_pipeline(spark, pages_path, os.path.join(tmp, "ckpt"), "bench")
+    queries["dedup_pipeline"] = round(wall, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "pipeline_docs": n,
+                "pipeline_docs_per_sec": round(n / wall, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+
+
+def main_scaling(args) -> None:
+    """local[8] vs local[32] on the same input -> BENCH/BASELINE.md."""
+    from replicheck_spark.corpus import write_pages_parquet
+
+    tmp = tempfile.mkdtemp(prefix="scaling_")
+    pages_path = os.path.join(tmp, "pages.parquet")
+    n_docs = args.docs
+    write_pages_parquet(pages_path, n_docs=n_docs, seed=42)
+
+    results = {}
+    for cores in (args.n_low, args.n_high):
+        from replicheck_spark.session import get_spark
+
+        spark = get_spark(
+            f"replicheck_scaling_{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores * 2,
+        )
+        ckpt = os.path.join(tmp, f"ckpt{cores}")
+        wall, n = _bench_pipeline(spark, pages_path, ckpt, f"s{cores}")
+        results[cores] = {"wall_sec": round(wall, 2), "docs_per_sec": round(n / wall, 1)}
+        spark.stop()
+        print(f"[scaling] local[{cores}]: {wall:.1f}s  {n / wall:.1f} docs/sec")
+
+    lo, hi = args.n_low, args.n_high
+    speedup = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
+    efficiency = speedup / (hi / lo)
+    report = {
+        "docs": n_docs,
+        f"local[{lo}]": results[lo],
+        f"local[{hi}]": results[hi],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(report))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — measured throughput + scaling efficiency
+
+North-rule evidence (two-cluster-size criterion, sandbox proxy per driver
+instruction: same dedup job, same {n_docs}-doc synthesized input, two
+parallelism levels on this 32-core host).
+
+| metric | value | config |
+|---|---|---|
+| docs/sec @ local[{lo}] | {results[lo]["docs_per_sec"]} | wall {results[lo]["wall_sec"]}s, shuffle={lo * 2} |
+| docs/sec @ local[{hi}] | {results[hi]["docs_per_sec"]} | wall {results[hi]["wall_sec"]}s, shuffle={hi * 2} |
+| speedup {lo}->{hi} | {speedup:.3f}x | ideal {hi // lo}x |
+| scaling efficiency | **{efficiency:.3f}** | target >= 0.8 |
+
+Input: deterministic planted corpus (seed 42, FIXTURES.md plan), full
+pipeline: extract -> exact -> signatures -> LSH -> confirm -> substr ->
+connected components -> clusters, checkpoints on (metrics collection off).
+
+Reproduce: `python bench.py --scaling --docs {n_docs}`
+"""
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--docs", type=int, default=50_000)
+    p.add_argument("--n-low", type=int, default=8)
+    p.add_argument("--n-high", type=int, default=32)
+    a = p.parse_args()
+    if a.scaling:
+        main_scaling(a)
+    else:
+        main_default(a)

@@ -56,8 +56,7 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
     are derived from the seed at closure-build time on the driver and shipped
     in the closure — every executor uses the identical matrix (no runtime RNG).
     uint64 values are reinterpreted as signed int64 for Spark LongType (bit
-    pattern preserved; comparisons only ever test equality except MinHash
-    values which are < 2^61 and therefore stay positive).
+    pattern preserved; downstream comparisons only ever test equality).
     """
     coeffs = mh.make_coeffs(num_perm, seed)
 

@@ -64,7 +64,10 @@ def run_dedup(
     ckpt_root: str,
     run_id: str = "run0",
     with_substr: bool = True,
+    collect_metrics: bool = True,
 ) -> DedupResult:
+    """collect_metrics=False skips the per-stage counter jobs (bench mode);
+    checkpointing and resume semantics are unchanged."""
     io = TableIO(spark, ckpt_root, run_id)
     sink = MetricsSink(spark, f"{ckpt_root}/{run_id}/_metrics", run_id)
 
@@ -76,8 +79,9 @@ def run_dedup(
             out = build()
             io.write(name, out)
         out = io.read(name)
-        rows_in = rows_in_df.count() if rows_in_df is not None else 0
-        sink.record_stage(name, out, rows_in, t.wall_ms, dropped=int(dropped))
+        if collect_metrics:
+            rows_in = rows_in_df.count() if rows_in_df is not None else 0
+            sink.record_stage(name, out, rows_in, t.wall_ms, dropped=int(dropped))
         return out
 
     docs = stage("docs", lambda: extract_docs(pages), pages)
@@ -91,10 +95,11 @@ def run_dedup(
     def build_cands():
         bands = explode_bands(sigs, cfg)
         pairs, capped = candidate_pairs(bands, cfg)
-        # capped buckets are data loss candidates: surface the overflow total
-        n_capped = capped.agg(F.sum("overflow")).collect()[0][0] or 0
-        if n_capped:
-            sink.record_stage("cands_capped", capped, 0, 0, dropped=int(n_capped))
+        if collect_metrics:
+            # capped buckets are potential data loss: surface the overflow total
+            n_capped = capped.agg(F.sum("overflow")).collect()[0][0] or 0
+            if n_capped:
+                sink.record_stage("cands_capped", capped, 0, 0, dropped=int(n_capped))
         return pairs
 
     cands = stage("cand_pairs", build_cands, sigs)
@@ -106,9 +111,11 @@ def run_dedup(
     if with_substr:
         def build_substr():
             sub_cand, capped = anchor_pairs(sigs, cfg)
-            n_capped = capped.agg(F.sum("overflow")).collect()[0][0] or 0
-            if n_capped:
-                sink.record_stage("substr_capped", capped, 0, 0, dropped=int(n_capped))
+            if collect_metrics:
+                n_capped = capped.agg(F.sum("overflow")).collect()[0][0] or 0
+                if n_capped:
+                    sink.record_stage("substr_capped", capped, 0, 0,
+                                      dropped=int(n_capped))
             # skip pairs already confirmed near (cheaper verify)
             fresh = sub_cand.join(near_e.select("a", "b"), ["a", "b"], "left_anti")
             return substr_edges(fresh, docs, cfg).drop("run_tokens")
@@ -137,5 +144,5 @@ def run_dedup(
         edges=edges,
         labels=labels,
         clusters=clusters,
-        metrics=sink.read(),
+        metrics=sink.read() if collect_metrics else None,
     )

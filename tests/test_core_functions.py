@@ -151,21 +151,22 @@ class TestMinHash:
         assert (m[2] == minhash._EMPTY_SENTINEL).all()
         assert not (m[1] == minhash._EMPTY_SENTINEL).all()
 
-    def test_minhash_values_in_field(self):
-        coeffs = minhash.make_coeffs(32, 1)
+    def test_minhash_matches_scalar_reference(self):
+        """Vectorized batch result == naive per-doc scalar computation."""
+        coeffs = minhash.make_coeffs(16, 1)
+        a, b = coeffs
         toks = [f"y{i}" for i in range(64)]
         flat, off = hashing.hash_token_lists([toks])
         sh, shoff = hashing.shingle_hashes_flat(flat, off, 5)
         m = minhash.minhash_flat(sh, shoff, coeffs)
-        assert (m < np.uint64((1 << 61) - 1)).all()
+        mask = (1 << 64) - 1
+        for i in range(16):
+            want = min(((int(a[i]) * int(x) + int(b[i])) & mask) for x in sh.tolist())
+            assert int(m[0, i]) == want
 
-    def test_mul_pow2_mod_matches_python_ints(self):
-        p = (1 << 61) - 1
-        ts = np.array([0, 1, 12345, p - 1, p, 2**60 + 7], dtype=np.uint64)
-        for s in (1, 13, 31, 60):
-            got = minhash._mul_pow2_mod(ts.copy(), s)
-            want = [(int(t) % p) * (2**s) % p for t in ts]
-            assert got.tolist() == want, f"shift {s}"
+    def test_coeff_multipliers_odd(self):
+        a, _ = minhash.make_coeffs(64, 42)
+        assert (a % np.uint64(2) == 1).all()
 
 
 class TestSimHash:
