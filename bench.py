@@ -69,7 +69,8 @@ def _bench_pipeline(spark, pages_path: str, ckpt: str, run_id: str) -> tuple[flo
     pages = spark.read.parquet(pages_path)
     t0 = time.monotonic()
     result = run_dedup(
-        spark, pages, DedupConfig(), ckpt, run_id=run_id, collect_metrics=False
+        spark, pages, DedupConfig(), ckpt, run_id=run_id,
+        collect_metrics=False, checkpoint="min",
     )
     result.clusters.count()
     wall = time.monotonic() - t0

@@ -25,7 +25,7 @@ from replicheck_spark.functions.textnorm import extract_text, normalize_text, to
 
 
 @pandas_udf(T.StringType())
-def extract_normalize(html: pd.Series, text: pd.Series) -> pd.Series:
+def _extract_normalize(html: pd.Series, text: pd.Series) -> pd.Series:
     """(html binary, text string) -> normalized extracted text.
 
     Same code path as the oracle: extract_text -> normalize_text.
@@ -35,6 +35,13 @@ def extract_normalize(html: pd.Series, text: pd.Series) -> pd.Series:
         for h, t in zip(html.tolist(), text.tolist())
     ]
     return pd.Series(out, dtype="object")
+
+
+# asNondeterministic: semantically deterministic, but the flag stops Catalyst's
+# CollapseProject from inlining the UDF into every downstream column that
+# references it (n_tokens + sha256 + ... would each re-run the extraction —
+# measured 3-4x UDF cost before this flag).
+extract_normalize = _extract_normalize.asNondeterministic()
 
 
 def signature_schema() -> T.StructType:
@@ -85,7 +92,10 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
             }
         )
 
-    return signature
+    # nondeterministic flag: struct-field extraction (sig.shingles,
+    # sig.minhash, ...) would otherwise re-evaluate the whole UDF once PER
+    # FIELD after projection collapse (measured 4x cost).
+    return signature.asNondeterministic()
 
 
 def hamming64_col(a, b):

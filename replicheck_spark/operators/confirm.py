@@ -27,7 +27,17 @@ def confirm_pairs(
     Keeps pairs with jaccard >= min_similarity, excluding exact duplicates
     (identical sha256 — those carry kind='exact' from the exact stage).
     """
-    sig = signatures.select("doc_id", "url", "sha256", "shingles", "simhash")
+    # prune: only docs that appear in a candidate pair need their (large)
+    # shingle arrays shuffled into the join — a semi-join first cuts the
+    # signatures side from |corpus| to |docs-in-pairs|
+    pair_ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .unionByName(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    sig = signatures.select("doc_id", "url", "sha256", "shingles", "simhash").join(
+        pair_ids, "doc_id", "left_semi"
+    )
     a_side = sig.select(
         F.col("doc_id").alias("a"),
         F.col("url").alias("a_url"),

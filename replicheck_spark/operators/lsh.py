@@ -11,16 +11,11 @@ Dataflow (all DataFrame ops; the north_rule's "salted repartition + groupBy"):
 3. Salting: ``salt = pmod(xxhash64(doc_id), S)`` splits every bucket into S
    chunks; ``groupBy(band_id, band_hash, salt)`` collects bounded chunks in
    parallel — no single task ever owns a giant bucket.
-4. Bucket cap: chunks are truncated at ``bucket_cap`` members (sorted by
-   doc_id, deterministic); the overflow COUNT is emitted via
-   ``capped_buckets`` for the metrics table — capped work is logged, never
-   silently dropped (SURVEY.md §4.2 rule 1).
-5. Pairs = intra-chunk pairs + inter-chunk (chunk_i x chunk_j, i<j) pairs from
-   a self-join on (band_id, band_hash); AQE skew-join splitting covers
-   residual imbalance. Pair dedup is a hash agg on (a, b).
-
-The pair explosion uses JVM array expressions (transform/flatten/filter), not
-Python.
+4. Bucket caps at both levels (per salt chunk, then per merged bucket), each
+   truncation counted into ``capped_buckets`` for the metrics table — capped
+   work is logged, never silently dropped (SURVEY.md §4.2 rule 1).
+5. Pairs explode from the merged bucket arrays with JVM expressions
+   (transform/flatten/filter — no Python); pair dedup is a hash agg on (a, b).
 """
 
 from __future__ import annotations
@@ -47,18 +42,6 @@ def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def _chunked(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Salted chunks: (band_id, band_hash, salt, ids array<long> sorted+capped,
-    overflow int)."""
-    return (
-        bands.groupBy("band_id", "band_hash", "salt")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("all_ids"))
-        .withColumn("overflow", F.greatest(F.size("all_ids") - cfg.bucket_cap, F.lit(0)))
-        .withColumn("ids", F.slice("all_ids", 1, cfg.bucket_cap))
-        .drop("all_ids")
-    )
-
-
 def _pairs_from_two_arrays(a_col: str, b_col: str):
     """All (x, y) with x from a_col, y from b_col, emitted as a<b structs."""
     return F.filter(
@@ -78,37 +61,57 @@ def _pairs_from_two_arrays(a_col: str, b_col: str):
 
 
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
-    """-> (cand_pairs(a, b), capped_buckets(band_id, band_hash, salt, overflow)).
+    """-> (cand_pairs(a, b), capped_buckets(band_id, band_hash, overflow)).
 
     a < b (doc_id order), globally deduplicated.
-    """
-    chunks = _chunked(bands, cfg)
-    capped = chunks.filter(F.col("overflow") > 0).select(
-        "band_id", "band_hash", "salt", "overflow"
-    )
 
-    # intra-chunk pairs: ids x ids, i<j realized by a<b on distinct elements
-    intra = (
-        chunks.filter(F.size("ids") >= 2)
+    Two-level capped aggregation (the salted-repartition skew design, no joins
+    or windows):
+
+    1. hash agg on (band, hash, SALT): each salt chunk collects at most
+       ``bucket_cap`` sorted doc_ids — a giant bucket's members land on
+       ``salt_buckets`` different reducers, so no task ever materializes the
+       whole bucket;
+    2. hash agg on (band, hash): merge the (already bounded) chunks, re-cap at
+       ``bucket_cap`` — per-row memory is bounded by salt_buckets*bucket_cap;
+    3. explode intra-bucket pairs from the merged array (JVM expressions);
+       every truncation is counted into ``capped`` — logged, never silent.
+
+    Both aggs are partial+final hash aggregations (map-side combine), so the
+    shuffled volume after level 1 is proportional to distinct buckets, not
+    band rows.
+    """
+    cap = cfg.bucket_cap
+    chunks = (
+        bands.groupBy("band_id", "band_hash", "salt")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("chunk_ids"))
+        .withColumn(
+            "chunk_over", F.greatest(F.size("chunk_ids") - cap, F.lit(0))
+        )
+        .withColumn("chunk_ids", F.slice("chunk_ids", 1, cap))
+    )
+    buckets = (
+        chunks.groupBy("band_id", "band_hash")
+        .agg(
+            F.sort_array(F.flatten(F.collect_list("chunk_ids"))).alias("all_ids"),
+            F.sum("chunk_over").alias("chunk_over"),
+        )
+        .withColumn(
+            "overflow",
+            F.col("chunk_over") + F.greatest(F.size("all_ids") - cap, F.lit(0)),
+        )
+        .withColumn("ids", F.slice("all_ids", 1, cap))
+        .drop("all_ids", "chunk_over")
+    )
+    buckets = buckets.localCheckpoint()  # reused for capped + pairs
+
+    capped = buckets.filter(F.col("overflow") > 0).select(
+        "band_id", "band_hash", "overflow"
+    )
+    pairs = (
+        buckets.filter(F.size("ids") >= 2)
         .select(F.explode(_pairs_from_two_arrays("ids", "ids")).alias("p"))
         .select("p.a", "p.b")
+        .dropDuplicates(["a", "b"])
     )
-
-    # inter-chunk pairs: self-join chunks of the same bucket, salt_a < salt_b
-    left = chunks.select(
-        "band_id", "band_hash",
-        F.col("salt").alias("salt_a"), F.col("ids").alias("ids_a"),
-    )
-    right = chunks.select(
-        "band_id", "band_hash",
-        F.col("salt").alias("salt_b"), F.col("ids").alias("ids_b"),
-    )
-    inter = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("salt_a") < F.col("salt_b"))
-        .select(F.explode(_pairs_from_two_arrays("ids_a", "ids_b")).alias("p"))
-        .select("p.a", "p.b")
-    )
-
-    pairs = intra.unionByName(inter).dropDuplicates(["a", "b"])
     return pairs, capped

@@ -24,42 +24,78 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from replicheck_spark.config import DedupConfig
-from replicheck_spark.functions.hashing import token_hash64
+from replicheck_spark.functions.hashing import MASK64, U64, token_hash64
 from replicheck_spark.functions.textnorm import tokenize
 
-_P = (1 << 61) - 1
-_B = 0x100000001B3
+_B = U64(0x100000001B3)
 
 
-def _prefix_hashes(hs: list[int]) -> tuple[list[int], list[int]]:
-    pre = [0] * (len(hs) + 1)
-    pw = [1] * (len(hs) + 1)
-    for i, h in enumerate(hs):
-        pre[i + 1] = (pre[i] * _B + h) % _P
-        pw[i + 1] = (pw[i] * _B) % _P
-    return pre, pw
+def _prefix_hashes(hs: np.ndarray) -> np.ndarray:
+    """Polynomial prefix hashes mod 2^64 (wraparound): pre[i] covers hs[:i]."""
+    pre = np.empty(len(hs) + 1, dtype=np.uint64)
+    pre[0] = 0
+    acc = U64(0)
+    # sequential recurrence (per doc, cached); cheap vs the window checks.
+    # uint64 wraparound is intended — suppress numpy's scalar-overflow noise.
+    with np.errstate(over="ignore"):
+        for i, h in enumerate(hs):
+            acc = (acc * _B + U64(h)) & MASK64
+            pre[i + 1] = acc
+    return pre
 
 
-def _windows(pre: list[int], pw: list[int], m: int) -> set[int]:
+def _pow_b(m: int) -> np.uint64:
+    return U64(pow(int(_B), m, 1 << 64))
+
+
+def _window_hashes(pre: np.ndarray, m: int) -> np.ndarray:
+    """All m-length window hashes, one vectorized pass: h(i) = pre[i+m] -
+    pre[i]*B^m (mod 2^64)."""
     n = len(pre) - 1
-    return {(pre[i + m] - pre[i] * pw[m]) % _P for i in range(n - m + 1)}
+    if m > n:
+        return np.empty(0, dtype=np.uint64)
+    bm = _pow_b(m)
+    return (pre[m:] - pre[: n - m + 1] * bm) & MASK64
 
 
-def longest_common_run_hashed(a: list[int], b: list[int]) -> int:
-    """Longest common contiguous run of two int sequences (rolling-hash
-    binary search; collision probability ~2^-61 per comparison, accepted)."""
-    if not a or not b:
+def _common(pre_a: np.ndarray, pre_b: np.ndarray, m: int) -> bool:
+    wa = _window_hashes(pre_a, m)
+    wb = _window_hashes(pre_b, m)
+    if not len(wa) or not len(wb):
+        return False
+    return len(np.intersect1d(wa, wb, assume_unique=False)) > 0
+
+
+def longest_common_run_hashed(
+    a: list[int] | np.ndarray, b: list[int] | np.ndarray, min_run: int = 1
+) -> int:
+    """Longest common contiguous run of two int sequences, or 0 if it is
+    shorter than ``min_run``.
+
+    One vectorized membership test at exactly ``min_run`` rejects the common
+    case (candidate pairs sharing an anchor shingle but no long run) in a
+    single pass; only genuine hits pay the O(n log n) binary search. Rolling
+    64-bit hashes; collision probability ~2^-64 per window, accepted.
+    """
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    if not len(a) or not len(b):
         return 0
-    pre_a, pw = _prefix_hashes(a)
-    pre_b, _ = _prefix_hashes(b)
-    lo, hi, best = 1, min(len(a), len(b)), 0
+    pre_a, pre_b = _prefix_hashes(a), _prefix_hashes(b)
+    hi = min(len(a), len(b))
+    lo = max(min_run, 1)
+    if lo > hi or not _common(pre_a, pre_b, lo):
+        return 0
+    best = lo
+    lo += 1
     while lo <= hi:
         mid = (lo + hi) // 2
-        if _windows(pre_a, pw, mid) & _windows(pre_b, pw, mid):
+        if _common(pre_a, pre_b, mid):
             best = mid
             lo = mid + 1
         else:
@@ -158,19 +194,21 @@ def substr_edges(
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            cache: dict[str, list[int]] = {}
+            cache: dict[str, np.ndarray] = {}
 
-            def tok_hashes(text: str) -> list[int]:
+            def tok_hashes(text: str) -> np.ndarray:
                 hs = cache.get(text)
                 if hs is None:
-                    hs = [token_hash64(t) % _P for t in tokenize(text)]
+                    hs = np.array(
+                        [token_hash64(t) for t in tokenize(text)], dtype=np.uint64
+                    )
                     cache[text] = hs
                 return hs
 
             out = {"a": [], "b": [], "a_url": [], "b_url": [], "run_tokens": []}
             for row in pdf.itertuples(index=False):
                 run = longest_common_run_hashed(
-                    tok_hashes(row.a_text), tok_hashes(row.b_text)
+                    tok_hashes(row.a_text), tok_hashes(row.b_text), min_run=min_run
                 )
                 if run >= min_run:
                     out["a"].append(row.a)

@@ -65,14 +65,31 @@ def run_dedup(
     run_id: str = "run0",
     with_substr: bool = True,
     collect_metrics: bool = True,
+    checkpoint: str = "full",
 ) -> DedupResult:
-    """collect_metrics=False skips the per-stage counter jobs (bench mode);
-    checkpointing and resume semantics are unchanged."""
+    """collect_metrics=False skips the per-stage counter jobs (bench mode).
+
+    checkpoint="full": every stage lands in parquet (resume skips finished
+    stages). checkpoint="min": intermediate edge tables use localCheckpoint
+    (lineage cut, no parquet barrier, NOT resumable) while the durable outputs
+    (docs, signatures, edges, labels, clusters, exact_groups) still persist —
+    the bench/throughput mode.
+    """
     io = TableIO(spark, ckpt_root, run_id)
     sink = MetricsSink(spark, f"{ckpt_root}/{run_id}/_metrics", run_id)
+    durable = {"docs", "signatures", "edges", "labels", "clusters", "exact_groups"}
+
+    # A small single-file input scans as ONE split, serializing the extraction
+    # and signature UDFs on one task. Fan out if under-partitioned (metadata
+    # check only; a real many-file table at scale is untouched).
+    parallelism = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < parallelism:
+        pages = pages.repartition(parallelism)
 
     def stage(name: str, build, rows_in_df: DataFrame | None = None, dropped=0):
         """Run (or resume) one stage: build() -> DataFrame, checkpointed."""
+        if checkpoint == "min" and name not in durable:
+            return build().localCheckpoint()
         if io.exists(name):
             return io.read(name)
         with StageTimer() as t:
