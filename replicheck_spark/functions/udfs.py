@@ -45,9 +45,12 @@ extract_normalize = _extract_normalize.asNondeterministic()
 
 
 def signature_schema() -> T.StructType:
+    # NOTE: shingles deliberately NOT emitted. Shipping ~600 int64s per doc
+    # through Arrow (as Python list objects) dominated the stage cost and the
+    # table size; the confirm/substr stages recompute shingles JVM-side (string
+    # k-grams) only for the docs that appear in candidate pairs.
     return T.StructType(
         [
-            T.StructField("shingles", T.ArrayType(T.LongType()), False),
             T.StructField("minhash", T.ArrayType(T.LongType()), False),
             T.StructField("simhash", T.LongType(), False),
             T.StructField("bands", T.ArrayType(T.LongType()), False),
@@ -78,17 +81,12 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
         m64 = m.astype(np.int64)
         b64 = b.astype(np.int64)
         s64 = s.astype(np.int64)
-        sh64 = flat_sh.astype(np.int64)
         n = len(token_lists)
-        shingle_col = [
-            sh64[sh_off[i] : sh_off[i + 1]].tolist() for i in range(n)
-        ]
         return pd.DataFrame(
             {
-                "shingles": shingle_col,
-                "minhash": [m64[i].tolist() for i in range(n)],
+                "minhash": [m64[i] for i in range(n)],
                 "simhash": s64.tolist(),
-                "bands": [b64[i].tolist() for i in range(n)],
+                "bands": [b64[i] for i in range(n)],
             }
         )
 

@@ -125,14 +125,19 @@ def minhash_lsh_pairs(
         )
         .select(
             "doc_id", "url", "sha256",
-            F.col("sig.shingles").alias("shingles"),
             F.col("sig.minhash").alias("minhash"),
             F.col("sig.simhash").alias("simhash"),
             F.col("sig.bands").alias("bands"),
         )
     )
+    docs_like = docs.select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("url"),
+        F.sha2("text", 256).alias("sha256"),
+        F.col("text").alias("norm_text"),
+    )
     cands, _ = candidate_pairs(explode_bands(sigs, cfg), cfg)
-    edges = confirm_pairs(cands, sigs, cfg)
+    edges = confirm_pairs(cands, sigs, docs_like, cfg)
     return edges.select("a", "b", "jaccard")
 
 
@@ -151,7 +156,7 @@ def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
         "doc_id", "sha256",
         F.col("sig.simhash").alias("simhash"),
         F.col("sig.bands").alias("bands"),
-    )
+    )  # minhash column not needed for the SimHash path
     cands, _ = candidate_pairs(explode_bands(sigs, cfg), cfg)
     a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("a_sim"))
     b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("b_sim"))

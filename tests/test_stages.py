@@ -115,7 +115,6 @@ class TestSignatures:
             s = int(mh.simhash_flat(sh, off)[0].astype(np.int64))
             b = mh.band_hashes(m.astype(np.uint64).reshape(1, -1),
                                CFG.lsh_bands, CFG.lsh_rows)[0].astype(np.int64)
-            assert sorted(r["shingles"]) == sorted(sh.astype(np.int64).tolist())
             assert r["minhash"] == m.tolist()
             assert r["simhash"] == s
             assert r["bands"] == b.tolist()
@@ -152,7 +151,7 @@ class TestLshConfirm:
         cands, capped = candidate_pairs(bands, CFG)
         cand_rows = cands.collect()
         assert len(cand_rows) >= 1
-        edges = confirm_pairs(cands, sigs, CFG).collect()
+        edges = confirm_pairs(cands, sigs, elig, CFG).collect()
         assert len(edges) == 1
         e = edges[0]
         assert {e["a_url"], e["b_url"]} == {"https://a.example/1", "https://b.example/2"}
@@ -234,8 +233,7 @@ class TestSubstr:
         )
         docs = extract_docs(pdf)
         elig = eligible_docs(docs, 50)
-        sigs = compute_signatures(elig, CFG)
-        cand, capped = anchor_pairs(sigs, CFG)
+        cand, capped = anchor_pairs(elig, CFG)
         edges = substr_edges(cand, docs, CFG).collect()
         assert len(edges) == 1
         assert edges[0]["run_tokens"] == 80
