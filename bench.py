@@ -25,6 +25,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
+# Bench working dirs live on tmpfs when available: this sandbox's single
+# virtio disk ANTI-scales with concurrent writers (32 writers measured slower
+# than 8 in aggregate), which corrupts the parallelism comparison with a host
+# artifact. A real cluster writes checkpoints to distributed storage.
+_TMPFS = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def _mkworkdir(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix, dir=_TMPFS)
+
 
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -95,7 +105,7 @@ def main_default(args) -> None:
     n_docs = max(int((sf if sf > 0 else 0.1) * 200_000), 2000)
     from replicheck_spark.corpus import write_pages_parquet
 
-    tmp = tempfile.mkdtemp(prefix="bench_")
+    tmp = _mkworkdir("bench_")
     pages_path = os.path.join(tmp, "pages.parquet")
     write_pages_parquet(pages_path, n_docs=n_docs, seed=42)
     wall, n = _bench_pipeline(spark, pages_path, os.path.join(tmp, "ckpt"), "bench")
@@ -120,28 +130,53 @@ def main_default(args) -> None:
     spark.stop()
 
 
+def main_single(args) -> None:
+    """One measurement in a fresh process (invoked by --scaling): prints one
+    JSON line {"cores": N, "wall_sec": W, "docs": D}."""
+    from replicheck_spark.session import get_spark
+
+    spark = get_spark(
+        f"replicheck_scaling_{args.cores}",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=args.cores * 2,
+    )
+    wall, n = _bench_pipeline(
+        spark, args.pages, os.path.join(args.workdir, f"ckpt{args.cores}"),
+        f"s{args.cores}",
+    )
+    print(json.dumps({"cores": args.cores, "wall_sec": round(wall, 2), "docs": n}))
+    spark.stop()
+
+
 def main_scaling(args) -> None:
-    """local[8] vs local[32] on the same input -> BENCH/BASELINE.md."""
+    """local[8] vs local[32] on the same input -> BENCH/BASELINE.md.
+
+    Each measurement runs in a FRESH subprocess: PySpark's py4j JVM survives
+    SparkSession.stop(), so back-to-back sessions in one process share a
+    fragmented heap and stale worker daemons — measured 2x noise.
+    """
+    import subprocess
+
     from replicheck_spark.corpus import write_pages_parquet
 
-    tmp = tempfile.mkdtemp(prefix="scaling_")
+    tmp = _mkworkdir("scaling_")
     pages_path = os.path.join(tmp, "pages.parquet")
     n_docs = args.docs
     write_pages_parquet(pages_path, n_docs=n_docs, seed=42)
 
     results = {}
     for cores in (args.n_low, args.n_high):
-        from replicheck_spark.session import get_spark
-
-        spark = get_spark(
-            f"replicheck_scaling_{cores}",
-            master=f"local[{cores}]",
-            shuffle_partitions=cores * 2,
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single",
+             "--cores", str(cores), "--pages", pages_path, "--workdir", tmp],
+            capture_output=True, text=True,
+            env={**os.environ,
+                 "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
         )
-        ckpt = os.path.join(tmp, f"ckpt{cores}")
-        wall, n = _bench_pipeline(spark, pages_path, ckpt, f"s{cores}")
-        results[cores] = {"wall_sec": round(wall, 2), "docs_per_sec": round(n / wall, 1)}
-        spark.stop()
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        wall, n = r["wall_sec"], r["docs"]
+        results[cores] = {"wall_sec": wall, "docs_per_sec": round(n / wall, 1)}
         print(f"[scaling] local[{cores}]: {wall:.1f}s  {n / wall:.1f} docs/sec")
 
     lo, hi = args.n_low, args.n_high
@@ -186,11 +221,17 @@ Reproduce: `python bench.py --scaling --docs {n_docs}`
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--scaling", action="store_true")
+    p.add_argument("--single", action="store_true")
     p.add_argument("--docs", type=int, default=50_000)
     p.add_argument("--n-low", type=int, default=8)
     p.add_argument("--n-high", type=int, default=32)
+    p.add_argument("--cores", type=int, default=8)
+    p.add_argument("--pages", type=str)
+    p.add_argument("--workdir", type=str, default="/tmp")
     a = p.parse_args()
-    if a.scaling:
+    if a.single:
+        main_single(a)
+    elif a.scaling:
         main_scaling(a)
     else:
         main_default(a)

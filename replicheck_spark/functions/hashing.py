@@ -47,26 +47,46 @@ def token_hash64(token: str) -> int:
 def hash_token_lists(token_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
     """Batch of token lists -> (flat uint64 token hashes, offsets).
 
-    A per-batch vocabulary cache amortizes the string hashing — analogous to
-    the reference's parser-instance cache (parser.py:19-23): heavy init once
-    per batch, numpy for the rest.
+    blake2b runs once per DISTINCT token in the batch: ``pandas.factorize``
+    (a C hash table) maps every token to a code, then a gather expands the
+    per-unique hash array. This replaces a per-token Python dict loop that
+    dominated the signature UDF (analogous in spirit to the reference's
+    parser-instance cache, parser.py:19-23: amortize heavy init, vectorize
+    the rest).
     """
-    cache: dict[str, int] = {}
+    import itertools
+
     counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
                          count=len(token_lists))
     offsets = np.zeros(len(token_lists) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    flat = np.empty(int(offsets[-1]), dtype=np.uint64)
-    pos = 0
-    for toks in token_lists:
-        for tok in toks:
-            h = cache.get(tok)
-            if h is None:
-                h = token_hash64(tok)
-                cache[tok] = h
-            flat[pos] = h
-            pos += 1
-    return flat, offsets
+    total = int(offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    try:
+        import pandas as pd
+
+        all_tokens = np.fromiter(
+            itertools.chain.from_iterable(token_lists), dtype=object, count=total
+        )
+        codes, uniques = pd.factorize(all_tokens, sort=False)
+        uh = np.fromiter(
+            (token_hash64(t) for t in uniques), dtype=np.uint64, count=len(uniques)
+        )
+        return uh[codes], offsets
+    except ImportError:  # pandas-free fallback (same result, slower)
+        cache: dict[str, int] = {}
+        flat = np.empty(total, dtype=np.uint64)
+        pos = 0
+        for toks in token_lists:
+            for tok in toks:
+                h = cache.get(tok)
+                if h is None:
+                    h = token_hash64(tok)
+                    cache[tok] = h
+                flat[pos] = h
+                pos += 1
+        return flat, offsets
 
 
 def shingle_hashes_flat(
@@ -88,7 +108,8 @@ def shingle_hashes_flat(
     if total >= k:
         acc = flat_tokens[: total - k + 1].copy()
         for j in range(1, k):
-            acc = (acc * _POLY_PRIME + flat_tokens[j : total - k + 1 + j]) & MASK64
+            np.multiply(acc, _POLY_PRIME, out=acc)
+            np.add(acc, flat_tokens[j : total - k + 1 + j], out=acc)
         acc = splitmix64(acc)
     else:
         acc = np.empty(0, dtype=np.uint64)

@@ -65,8 +65,12 @@ def minhash_flat(
     ne_idx = np.flatnonzero(np.diff(offsets) > 0)
     red_idx = offsets[ne_idx].astype(np.int64)
 
+    # one reused buffer: fresh multi-MB allocations per permutation measured
+    # several times slower under 32 concurrent worker processes
+    y = np.empty(total, dtype=np.uint64)
     for i in range(num_perm):
-        y = (a[i] * flat_sh + b[i]) & MASK64  # affine bijection mod 2^64
+        np.multiply(a[i], flat_sh, out=y)  # affine bijection mod 2^64
+        np.add(y, b[i], out=y)
         out[ne_idx, i] = np.minimum.reduceat(y, red_idx)
     return out
 
@@ -82,16 +86,23 @@ def simhash_flat(flat_sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     out = np.zeros(n_docs, dtype=np.uint64)
     if total == 0 or n_docs == 0:
         return out
-    bits = ((flat_sh[:, None] >> np.arange(64, dtype=np.uint64)) & U64(1)).astype(
-        np.int64
-    )  # (total, 64)
-    ne_idx = np.flatnonzero(np.diff(offsets) > 0)
-    red_idx = offsets[ne_idx].astype(np.int64)
-    ones = np.add.reduceat(bits, red_idx, axis=0)  # (n_nonempty, 64)
-    counts = np.diff(offsets)[ne_idx, None]
-    votes = (2 * ones) > counts  # strict majority
-    weights = (U64(1) << np.arange(64, dtype=np.uint64))[None, :]
-    out[ne_idx] = (votes.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    # Per-doc unpackbits+sum: each doc's bit matrix (~n_shingles x 64 uint8)
+    # stays cache-resident. The "fully batched" alternatives — a giant int64
+    # bit matrix, or add.reduceat over a uint8 matrix — were measured 20-600x
+    # slower once 32 worker processes ran concurrently (memory-bandwidth and
+    # reduceat casting pathologies); small per-doc numpy ops win decisively.
+    weights = U64(1) << np.arange(64, dtype=np.uint64)
+    for d in range(n_docs):
+        s0, e0 = int(offsets[d]), int(offsets[d + 1])
+        if e0 == s0:
+            continue
+        seg = flat_sh[s0:e0]
+        bits = np.unpackbits(
+            seg.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
+        ones = bits.sum(axis=0, dtype=np.int32)
+        votes = (2 * ones) > (e0 - s0)  # strict majority
+        out[d] = (votes.astype(np.uint64) * weights).sum(dtype=np.uint64)
     return out
 
 

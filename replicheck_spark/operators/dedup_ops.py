@@ -125,19 +125,14 @@ def minhash_lsh_pairs(
         )
         .select(
             "doc_id", "url", "sha256",
+            F.col("sig.shingles").alias("shingles"),
             F.col("sig.minhash").alias("minhash"),
             F.col("sig.simhash").alias("simhash"),
             F.col("sig.bands").alias("bands"),
         )
     )
-    docs_like = docs.select(
-        "doc_id",
-        F.col("doc_id").cast("string").alias("url"),
-        F.sha2("text", 256).alias("sha256"),
-        F.col("text").alias("norm_text"),
-    )
     cands, _ = candidate_pairs(explode_bands(sigs, cfg), cfg)
-    edges = confirm_pairs(cands, sigs, docs_like, cfg)
+    edges = confirm_pairs(cands, sigs, cfg)
     return edges.select("a", "b", "jaccard")
 
 

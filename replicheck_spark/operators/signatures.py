@@ -27,6 +27,7 @@ def compute_signatures(elig: DataFrame, cfg: DedupConfig) -> DataFrame:
         )
         .select(
             "doc_id", "url", "host", "n_tokens", "sha256",
+            F.col("sig.shingles").alias("shingles"),
             F.col("sig.minhash").alias("minhash"),
             F.col("sig.simhash").alias("simhash"),
             F.col("sig.bands").alias("bands"),

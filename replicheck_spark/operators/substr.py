@@ -104,25 +104,18 @@ def longest_common_run_hashed(
 
 
 def anchor_pairs(
-    docs: DataFrame, cfg: DedupConfig, bucket_cap: int = 64
+    signatures: DataFrame, cfg: DedupConfig, bucket_cap: int = 64
 ) -> tuple[DataFrame, DataFrame]:
     """-> (cand(a, b), capped(anchor, overflow)) via deterministic anchor
-    sampling: JVM-built k-shingles filtered by xxhash64(shingle) % q == 0.
-
-    ``docs`` must carry doc_id, sha256, norm_text (already min-size filtered).
-    """
-    from replicheck_spark.functions.shingles_sql import shingles_expr
-
+    sampling over the stored distinct shingle-hash arrays (pmod on int64,
+    JVM-side)."""
     need = cfg.substr_min_tokens - cfg.shingle_k + 1
     q = max(1, need // 8)
-    anchors = docs.select(
+    anchors = signatures.select(
         "doc_id",
         "sha256",
         F.explode(
-            F.filter(
-                shingles_expr("norm_text", cfg.shingle_k),
-                lambda s: F.pmod(F.xxhash64(s), F.lit(q)) == 0,
-            )
+            F.filter(F.col("shingles"), lambda s: F.pmod(s, F.lit(q)) == 0)
         ).alias("anchor"),
     )
     # identical docs already linked by the exact stage: one rep per sha256

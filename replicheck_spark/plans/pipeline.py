@@ -122,12 +122,12 @@ def run_dedup(
     cands = stage("cand_pairs", build_cands, sigs)
 
     near_e = stage(
-        "near_edges", lambda: confirm_pairs(cands, sigs, elig, cfg), cands
+        "near_edges", lambda: confirm_pairs(cands, sigs, cfg), cands
     )
 
     if with_substr:
         def build_substr():
-            sub_cand, capped = anchor_pairs(elig, cfg)
+            sub_cand, capped = anchor_pairs(sigs, cfg)
             if collect_metrics:
                 n_capped = capped.agg(F.sum("overflow")).collect()[0][0] or 0
                 if n_capped:

@@ -47,9 +47,21 @@ def get_spark(
             "spark.sql.files.openCostInBytes",
             os.environ.get("SPARK_GRAFT_OPEN_COST", "512k"),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = ONE JVM holding all executors, shuffles and
+        # localCheckpoints; an undersized heap turns every array-heavy stage
+        # into a GC storm. Size to the machine (this sandbox has 128 GiB).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle + spill on tmpfs when available: this sandbox's disk is shared
+    # and slow/noisy; RAM-backed local dirs remove disk from the data path
+    # entirely (a real cluster would use local NVMe instead).
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if shm is None and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark_local"
+    if shm:
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -44,13 +44,7 @@ class IncrementalDedup:
     def process_batch(self, pages_batch: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
         docs_new = eligible_docs(extract_docs(pages_batch), cfg.min_size)
-        # keep norm_text alongside the signature store: the Jaccard confirm
-        # rebuilds shingles JVM-side from it
-        sigs_new = (
-            compute_signatures(docs_new, cfg)
-            .join(docs_new.select("doc_id", "norm_text"), "doc_id")
-            .localCheckpoint()
-        )
+        sigs_new = compute_signatures(docs_new, cfg).localCheckpoint()
         if self._store_exists():
             store = self.spark.read.parquet(self.store_dir)
             # exact hits: sha already present
@@ -78,7 +72,7 @@ class IncrementalDedup:
                 .dropDuplicates(["a", "b"])
             )
             both = store.unionByName(sigs_new)
-            near = confirm_pairs(cands, both, both, cfg).select(
+            near = confirm_pairs(cands, both, cfg).select(
                 F.col("a").alias("doc_id"), F.col("a_url").alias("url"),
                 F.col("b_url").alias("dup_of"), F.col("kind"),
                 F.lit(batch_id).alias("batch_id"),

@@ -105,7 +105,9 @@ class TestUdfEvaluation:
         sigs = compute_signatures(eligible_docs(extract_docs(pages), 50),
                                   DedupConfig())
         plan = _plan(sigs)
-        n_arrow = len(re.findall(r"ArrowEvalPython", plan))
+        # count plan NODES (the "(n) ArrowEvalPython" detail headers; the
+        # formatted output prints each node twice — tree and details)
+        n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
         # one for extract_normalize + one for the signature UDF
         assert n_arrow <= 2, f"{n_arrow} ArrowEvalPython nodes:\n{plan[:2000]}"
 
@@ -117,4 +119,4 @@ class TestUdfEvaluation:
             "url string, warc_ts timestamp, html binary, text string, lang string",
         )
         plan = _plan(extract_docs(pages))
-        assert len(re.findall(r"extract_normalize", plan)) <= 2  # def + use
+        assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1

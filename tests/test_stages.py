@@ -151,7 +151,7 @@ class TestLshConfirm:
         cands, capped = candidate_pairs(bands, CFG)
         cand_rows = cands.collect()
         assert len(cand_rows) >= 1
-        edges = confirm_pairs(cands, sigs, elig, CFG).collect()
+        edges = confirm_pairs(cands, sigs, CFG).collect()
         assert len(edges) == 1
         e = edges[0]
         assert {e["a_url"], e["b_url"]} == {"https://a.example/1", "https://b.example/2"}
@@ -233,7 +233,8 @@ class TestSubstr:
         )
         docs = extract_docs(pdf)
         elig = eligible_docs(docs, 50)
-        cand, capped = anchor_pairs(elig, CFG)
+        sigs = compute_signatures(elig, CFG)
+        cand, capped = anchor_pairs(sigs, CFG)
         edges = substr_edges(cand, docs, CFG).collect()
         assert len(edges) == 1
         assert edges[0]["run_tokens"] == 80
