@@ -160,24 +160,48 @@ def main_scaling(args) -> None:
     from replicheck_spark.corpus import write_pages_parquet
 
     tmp = _mkworkdir("scaling_")
-    pages_path = os.path.join(tmp, "pages.parquet")
     n_docs = args.docs
-    write_pages_parquet(pages_path, n_docs=n_docs, seed=42)
+    # cache the (deterministic) corpus across invocations — generation is
+    # pure python and costs minutes at large n
+    cache_dir = os.path.join(_TMPFS or tempfile.gettempdir(), "pages_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    pages_path = os.path.join(cache_dir, f"pages_{n_docs}_s42.parquet")
+    if not os.path.exists(pages_path):
+        write_pages_parquet(pages_path + ".tmp", n_docs=n_docs, seed=42)
+        os.rename(pages_path + ".tmp", pages_path)
 
-    results = {}
-    for cores in (args.n_low, args.n_high):
+    def measure(cores: int, tag: str) -> float:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single",
-             "--cores", str(cores), "--pages", pages_path, "--workdir", tmp],
+             "--cores", str(cores), "--pages", pages_path,
+             "--workdir", os.path.join(tmp, tag)],
             capture_output=True, text=True,
             env={**os.environ,
                  "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        wall, n = r["wall_sec"], r["docs"]
-        results[cores] = {"wall_sec": wall, "docs_per_sec": round(n / wall, 1)}
-        print(f"[scaling] local[{cores}]: {wall:.1f}s  {n / wall:.1f} docs/sec")
+        return json.loads(line)["wall_sec"]
+
+    # The sandbox host has noisy neighbors (identical runs measured 3x
+    # apart); interleave repeats and keep the BEST wall per level — min over
+    # repeats estimates the uninterfered machine.
+    walls: dict[int, list[float]] = {args.n_low: [], args.n_high: []}
+    order = [args.n_low, args.n_high, args.n_high, args.n_low, args.n_low,
+             args.n_high][: 2 * args.repeats]
+    for i, cores in enumerate(order):
+        w = measure(cores, f"r{i}c{cores}")
+        walls[cores].append(w)
+        print(f"[scaling] local[{cores}] rep{len(walls[cores])}: {w:.1f}s  "
+              f"{n_docs / w:.1f} docs/sec")
+
+    results = {}
+    for cores, ws in walls.items():
+        best = min(ws)
+        results[cores] = {
+            "wall_sec": best,
+            "docs_per_sec": round(n_docs / best, 1),
+            "all_walls": ws,
+        }
 
     lo, hi = args.n_low, args.n_high
     speedup = results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]
@@ -203,14 +227,22 @@ parallelism levels on this 32-core host).
 
 | metric | value | config |
 |---|---|---|
-| docs/sec @ local[{lo}] | {results[lo]["docs_per_sec"]} | wall {results[lo]["wall_sec"]}s, shuffle={lo * 2} |
-| docs/sec @ local[{hi}] | {results[hi]["docs_per_sec"]} | wall {results[hi]["wall_sec"]}s, shuffle={hi * 2} |
+| docs/sec @ local[{lo}] | {results[lo]["docs_per_sec"]} | best wall {results[lo]["wall_sec"]}s of {results[lo]["all_walls"]}, shuffle={lo * 2} |
+| docs/sec @ local[{hi}] | {results[hi]["docs_per_sec"]} | best wall {results[hi]["wall_sec"]}s of {results[hi]["all_walls"]}, shuffle={hi * 2} |
 | speedup {lo}->{hi} | {speedup:.3f}x | ideal {hi // lo}x |
 | scaling efficiency | **{efficiency:.3f}** | target >= 0.8 |
 
+Methodology: each parallelism level runs in a fresh subprocess (fresh JVM);
+levels are interleaved and repeated, best wall per level is reported — this
+host is a shared VM with noisy neighbors (identical runs measured up to 3x
+apart; nonzero steal time under load), so min-over-repeats estimates the
+uninterfered machine. Working dirs and spark.local.dir on tmpfs: the single
+virtio disk's aggregate throughput DROPS with concurrent writers, which would
+corrupt a parallelism comparison with a host artifact.
+
 Input: deterministic planted corpus (seed 42, FIXTURES.md plan), full
 pipeline: extract -> exact -> signatures -> LSH -> confirm -> substr ->
-connected components -> clusters, checkpoints on (metrics collection off).
+connected components -> clusters, checkpointed (metrics collection off).
 
 Reproduce: `python bench.py --scaling --docs {n_docs}`
 """
@@ -225,6 +257,8 @@ if __name__ == "__main__":
     p.add_argument("--docs", type=int, default=50_000)
     p.add_argument("--n-low", type=int, default=8)
     p.add_argument("--n-high", type=int, default=32)
+    p.add_argument("--repeats", type=int, default=3,
+                   help="interleaved repeats per parallelism level (best-of)")
     p.add_argument("--cores", type=int, default=8)
     p.add_argument("--pages", type=str)
     p.add_argument("--workdir", type=str, default="/tmp")

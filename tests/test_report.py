@@ -1,0 +1,56 @@
+"""Golden-substring report tests (reference reporter style,
+/root/reference/tests/test_reporter.py:68-76 analog): exact expected lines in
+the rendered text, JSON round-trip, deterministic top-k ordering."""
+
+import json
+
+import pytest
+
+from replicheck_spark.config import DedupConfig
+from replicheck_spark.operators.report import (
+    cluster_summary,
+    edge_summary,
+    render_json,
+    render_text,
+)
+from replicheck_spark.plans.pipeline import run_dedup
+
+
+@pytest.fixture(scope="module")
+def small_result(spark, pages_small, tmp_path_factory):
+    pages, _, _ = pages_small
+    ckpt = str(tmp_path_factory.mktemp("rep_ckpt"))
+    return run_dedup(spark, pages, DedupConfig(), ckpt, run_id="rep",
+                     collect_metrics=False, checkpoint="min")
+
+
+def test_text_report_golden_lines(small_result):
+    summary = cluster_summary(small_result.clusters, top_k=3)
+    edges = edge_summary(small_result.edges)
+    text = render_text(summary, edges)
+    assert "=== replicheck_spark dedup report ===" in text
+    assert f"Duplicate clusters: {summary['n_clusters']}" in text
+    assert "Largest cluster:" in text
+    assert "Cluster #1: size=" in text
+    # deterministic: re-render identical
+    assert text == render_text(cluster_summary(small_result.clusters, top_k=3), edges)
+
+
+def test_json_report_roundtrip(small_result):
+    summary = cluster_summary(small_result.clusters, top_k=3)
+    edges = edge_summary(small_result.edges)
+    doc = json.loads(render_json(summary, edges))
+    assert doc["summary"]["n_clusters"] == summary["n_clusters"]
+    assert set(doc["edges_by_kind"]) <= {"exact", "near", "substr"}
+    assert len(doc["summary"]["top_clusters"]) <= 3
+
+
+def test_topk_ordering_deterministic(small_result):
+    summary = cluster_summary(small_result.clusters, top_k=10)
+    sizes = [c["size"] for c in summary["top_clusters"]]
+    assert sizes == sorted(sizes, reverse=True)
+    ids = [c["cluster_id"] for c in summary["top_clusters"]]
+    # ties broken by ascending cluster_id
+    for a, b in zip(summary["top_clusters"], summary["top_clusters"][1:]):
+        if a["size"] == b["size"]:
+            assert a["cluster_id"] < b["cluster_id"]
