@@ -8,7 +8,8 @@ Default mode (driver contract): run the headline queries at
 
 ``--scaling`` mode (north-rule evidence): run the full dedup pipeline on the
 same synthesized corpus at local[8] and local[32], report throughput at both
-plus scaling efficiency, and write BENCH/BASELINE.md.
+plus scaling efficiency, and write the raw result to
+BENCH/SCALING_LAST.md (curated analysis: BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -149,7 +150,7 @@ def main_single(args) -> None:
 
 
 def main_scaling(args) -> None:
-    """local[8] vs local[32] on the same input -> BENCH/BASELINE.md.
+    """local[8] vs local[32] on the same input -> BENCH/SCALING_LAST.md.
 
     Each measurement runs in a FRESH subprocess: PySpark's py4j JVM survives
     SparkSession.stop(), so back-to-back sessions in one process share a
@@ -217,9 +218,11 @@ def main_scaling(args) -> None:
     print(json.dumps(report))
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open("BENCH/SCALING_LAST.md", "w") as f:
         f.write(
-            f"""# BENCH/BASELINE — measured throughput + scaling efficiency
+            f"""# BENCH/SCALING_LAST — latest raw scaling measurement
+
+(Curated cross-run analysis lives in BENCH/BASELINE.md.)
 
 North-rule evidence (two-cluster-size criterion, sandbox proxy per driver
 instruction: same dedup job, same {n_docs}-doc synthesized input, two
