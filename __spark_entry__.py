@@ -102,7 +102,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.knn_bruteforce(_t(spark, sf, "embeddings"), 10, 5)
 
     def q_knn_lsh(spark, sf):
-        return similarity.knn_lsh(_t(spark, sf, "embeddings"), dim=64, n_queries=10, k=5)
+        # planes/tables tuned for >=0.9 recall@5 on the random (near-
+        # orthogonal) fixture embeddings — see tests/test_similarity_recall.py
+        return similarity.knn_lsh(
+            _t(spark, sf, "embeddings"), dim=64, n_queries=10, k=5,
+            n_planes=4, n_tables=16,
+        )
 
     def q_embedding_dup_pairs(spark, sf):
         return similarity.embedding_dup_pairs(_t(spark, sf, "embeddings"), 0.95)
@@ -388,7 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": f"""
             SELECT {kind_case} AS kind,
                    count(*) AS n_items,
-                   sum(octet_length(encode(text))) AS total_bytes,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                    min(octet_length(encode(text))) AS min_bytes,
                    max(octet_length(encode(text))) AS max_bytes
             FROM documents
@@ -417,8 +422,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_price_cents,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -427,7 +433,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": """
             SELECT c_custkey, c_name, revenue_cents, n_orders FROM (
                 SELECT o_custkey,
-                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                         AS revenue_cents,
                        count(*) AS n_orders
                 FROM orders GROUP BY o_custkey
             ) r JOIN customer ON r.o_custkey = customer.c_custkey

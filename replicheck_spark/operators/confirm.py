@@ -36,10 +36,13 @@ def confirm_pairs(
     signatures: DataFrame,
     cfg: DedupConfig,
 ) -> DataFrame:
-    """-> edges(a, b, a_url, b_url, jaccard, hamming, kind='near').
+    """-> edges(a, b, a_url, b_url, a_sha, b_sha, jaccard, hamming,
+    kind='near').
 
     Keeps pairs with jaccard >= min_similarity, excluding exact duplicates
     (identical sha256 — those carry kind='exact' from the exact stage).
+    a_sha/b_sha ride along so callers can expand representative-level edges
+    back to every member of each exact-duplicate text group.
     """
     pruned = signatures.select(
         "doc_id", "url", "sha256", "shingles", "simhash"
@@ -71,8 +74,8 @@ def confirm_pairs(
         )
         .withColumn("hamming", F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))))
         .filter(F.col("jaccard") >= F.lit(cfg.min_similarity))
-        .select("a", "b", "a_url", "b_url", "jaccard", "hamming",
-                F.lit("near").alias("kind"))
+        .select("a", "b", "a_url", "b_url", "a_sha", "b_sha", "jaccard",
+                "hamming", F.lit("near").alias("kind"))
     )
 
 

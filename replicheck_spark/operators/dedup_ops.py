@@ -99,6 +99,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def _expand_exact_members(
+    edges: DataFrame, members: DataFrame, value_cols: list[str]
+) -> DataFrame:
+    """Representative-level near-dup edges (a_sha, b_sha, values) -> ALL
+    member pairs: group(a_sha) x group(b_sha).
+
+    The LSH band stage keeps one representative per identical-text group
+    (operators/lsh.py explode_bands step 2) so giant exact clusters cost
+    O(cluster), not O(cluster^2). A pair-LISTING operator must undo that:
+    if text A ~ text B then every holder of A pairs with every holder of B,
+    at the SAME jaccard/hamming (identical text -> identical shingle set /
+    simhash). Two sha-keyed joins; output size is the declared semantics'
+    own |A|x|B|. No dedup needed: each doc has one sha, and confirm emits
+    each (a_sha, b_sha) once.
+    """
+    ma = members.select(F.col("sha256").alias("a_sha"), F.col("doc_id").alias("_x"))
+    mb = members.select(F.col("sha256").alias("b_sha"), F.col("doc_id").alias("_y"))
+    return (
+        edges.select("a_sha", "b_sha", *value_cols)
+        .join(ma, "a_sha")
+        .join(mb, "b_sha")
+        .select(
+            F.least("_x", "_y").alias("a"),
+            F.greatest("_x", "_y").alias("b"),
+            *value_cols,
+        )
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, cfg: DedupConfig, threshold: float | None = None
 ) -> DataFrame:
@@ -108,7 +137,14 @@ def minhash_lsh_pairs(
     At the default config (128 perms, 32 bands x 4 rows) the miss probability
     at jaccard 0.8 is (1-0.8^4)^32 ~ 5e-8, so on non-adversarial data this
     equals ngram_jaccard_pairs — which is exactly what the driver's DuckDB
-    oracle checks.
+    oracle checks. Representative-level confirmed edges are expanded back to
+    all members of each identical-text group so the listing matches the
+    oracle even when exact dups participate in near-dup pairs.
+
+    ``localCheckpoint`` on the signatures: both the band branch and the
+    confirm branch consume them, and without materialization Catalyst
+    re-evaluates the signature UDF once per branch (measured 2x
+    ArrowEvalPython = ~2x the dominant cost).
     """
     cfg = cfg if threshold is None else DedupConfig(
         **{**cfg.to_dict(), "min_similarity": threshold}
@@ -130,16 +166,20 @@ def minhash_lsh_pairs(
             F.col("sig.simhash").alias("simhash"),
             F.col("sig.bands").alias("bands"),
         )
+        .localCheckpoint()
     )
     cands, _ = candidate_pairs(explode_bands(sigs, cfg), cfg)
     edges = confirm_pairs(cands, sigs, cfg)
-    return edges.select("a", "b", "jaccard")
+    return _expand_exact_members(
+        edges, sigs.select("doc_id", "sha256"), ["jaccard"]
+    )
 
 
 def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """SimHash near-dup pairs: LSH candidates filtered by Hamming <=
     hamming_max: (a, b, hamming). Rows-only correctness check (SimHash is not
-    SQL-expressible)."""
+    SQL-expressible). Same single-evaluation (localCheckpoint) and
+    member-expansion discipline as minhash_lsh_pairs."""
     sig_udf = make_signature_udf(
         cfg.shingle_k, cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.seed
     )
@@ -151,14 +191,26 @@ def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
         "doc_id", "sha256",
         F.col("sig.simhash").alias("simhash"),
         F.col("sig.bands").alias("bands"),
-    )  # minhash column not needed for the SimHash path
+    ).localCheckpoint()  # minhash column not needed for the SimHash path
     cands, _ = candidate_pairs(explode_bands(sigs, cfg), cfg)
-    a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("a_sim"))
-    b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("b_sim"))
-    return (
+    a = sigs.select(
+        F.col("doc_id").alias("a"),
+        F.col("simhash").alias("a_sim"),
+        F.col("sha256").alias("a_sha"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("b"),
+        F.col("simhash").alias("b_sim"),
+        F.col("sha256").alias("b_sha"),
+    )
+    rep_edges = (
         cands.join(a, "a")
         .join(b, "b")
         .withColumn("hamming", F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim"))))
         .filter(F.col("hamming") <= cfg.hamming_max)
-        .select("a", "b", "hamming")
+        .filter(F.col("a_sha") != F.col("b_sha"))
+        .select("a_sha", "b_sha", "hamming")
+    )
+    return _expand_exact_members(
+        rep_edges, sigs.select("doc_id", "sha256"), ["hamming"]
     )

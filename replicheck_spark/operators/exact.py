@@ -17,24 +17,46 @@ Scale notes (10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def capped_members_agg(member_col: str, key_col: str, cap: int):
+    """(pre-agg ranking column spec) Bounded member-list aggregation: a
+    row_number window over (key, member order) marks the first ``cap`` members
+    BEFORE the aggregation, and ``collect_list`` skips the nulls the marker
+    leaves on the rest — so the agg buffer holds at most ``cap`` entries even
+    for a 10^8-member boilerplate group (collect_list-then-slice materializes
+    the whole list in one task's buffer first). Same output as
+    slice(sort_array(collect_list(member)), 1, cap): row_number follows member
+    order, so the kept members are exactly the cap smallest.
+
+    Returns (ranked_column, agg_expression) given the window-ranked column
+    name '_member_rn'.
+    """
+    w = Window.partitionBy(key_col).orderBy(member_col)
+    rn = F.row_number().over(w)
+    agg = F.sort_array(
+        F.collect_list(F.when(F.col("_member_rn") <= cap, F.col(member_col)))
+    )
+    return rn, agg
 
 
 def exact_groups(elig: DataFrame, members_cap: int = 128) -> DataFrame:
     """Groups of byte-identical docs: one row per group with >= 2 members.
 
     Columns: sha256, size (token count), num_duplicates, cross_host,
-    member_urls (sorted, capped), similarity (1.0).
+    member_urls (sorted, capped — bounded agg buffer, see capped_members_agg),
+    similarity (1.0).
     """
+    rn, members = capped_members_agg("url", "sha256", members_cap)
     return (
-        elig.groupBy("sha256")
+        elig.withColumn("_member_rn", rn)
+        .groupBy("sha256")
         .agg(
             F.count("*").alias("num_duplicates"),
             F.first("n_tokens").alias("size"),
             (F.countDistinct("host") > 1).alias("cross_host"),
-            F.slice(F.sort_array(F.collect_list("url")), 1, members_cap).alias(
-                "member_urls"
-            ),
+            members.alias("member_urls"),
         )
         .filter(F.col("num_duplicates") >= 2)
         .withColumn("similarity", F.lit(1.0))

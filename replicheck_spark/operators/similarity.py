@@ -66,24 +66,34 @@ def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
 
 
 def embedding_dup_pairs(
-    emb: DataFrame, threshold: float = 0.95, broadcast_limit: int = 200_000
+    emb: DataFrame, threshold: float = 0.95,
+    broadcast_bytes_limit: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Near-duplicate vector pairs: cosine >= threshold, a < b.
 
-    Small/medium corpora (fits ``broadcast_limit``): broadcast the normalized
-    matrix once and let every partition compute chunk x matrix cosine in one
-    BLAS matmul — measured ~50x faster than a cross join with interpreted
-    zip_with/aggregate lambdas. Beyond the limit, run
-    ``lsh_bucket_candidates`` first and confirm only within buckets (the
-    10^12-scale path)."""
+    Small/medium corpora (normalized float64 matrix under
+    ``broadcast_bytes_limit``): broadcast the matrix once and let every
+    partition compute chunk x matrix cosine in one BLAS matmul — measured
+    ~50x faster than a cross join with interpreted zip_with/aggregate
+    lambdas. Beyond the limit, run ``lsh_bucket_candidates`` first and
+    confirm only within buckets (the 10^12-scale path).
+
+    One metadata job decides the path: count and dim come from a single agg
+    (no separate count()/first() actions), and the limit is BYTES
+    (n * dim * 8), not a row count — 200k rows of 768-dim vectors is ~1.2 GB
+    and must NOT go down the broadcast path.
+    """
     import pandas as pd
     from pyspark.sql import types as T
 
-    n = emb.count()
-    if n > broadcast_limit:
-        cands = lsh_bucket_candidates(
-            emb, dim=len(emb.select("embedding").first()[0])
-        )
+    n, dim = emb.agg(
+        F.count("*"), F.first(F.size("embedding"))
+    ).first()
+    if n == 0:
+        return emb.sparkSession.createDataFrame([], "a long, b long")
+    if n * dim * 8 > broadcast_bytes_limit:
+        cands, capped = lsh_bucket_candidates(emb, dim=dim)
+        _log_bucket_overflow(capped, "embedding_dup_pairs")
         a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"))
         b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"))
         return (
@@ -133,38 +143,71 @@ def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float
     return rs.randn(n_planes, dim).tolist()
 
 
+def _log_bucket_overflow(capped: DataFrame, where: str) -> None:
+    """Capped work is logged, never silent (SURVEY.md §4.2 rule 1): surface
+    the total member overflow of truncated LSH buckets."""
+    import logging
+
+    total = capped.agg(F.sum("overflow")).first()[0] or 0
+    if total:
+        logging.getLogger(__name__).warning(
+            "%s: %d bucket members beyond bucket_cap were truncated "
+            "(recall loss is attributable here; raise bucket_cap or n_planes)",
+            where, int(total),
+        )
+
+
 def lsh_bucket_candidates(
     emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
-    bucket_cap: int = 256,
-) -> DataFrame:
+    bucket_cap: int = 256, n_tables: int = 1,
+) -> tuple[DataFrame, DataFrame]:
     """Random-hyperplane LSH: bucket = sign-bit string of `n_planes` dot
-    products; candidate pairs generated within buckets only.
+    products per hash table; candidate pairs generated within buckets only.
 
-    -> (a, b) candidate pairs. JVM-side: the plane matrix enters the plan as
-    a literal array; dots via aggregate/zip_with; no Python.
+    -> (cand(a, b), capped(table_id, bucket, overflow)). Truncation is
+    METERED, never silent — same discipline as the text path
+    (operators/lsh.py candidate_pairs). ``n_tables`` independent plane sets
+    (seed+t) union their candidates: recall ~ 1-(1-p)^T is tunable without
+    touching bucket granularity. JVM-side throughout: the plane matrices
+    enter the plan as literal arrays; dots via aggregate/zip_with; no Python.
     """
-    planes = make_hyperplanes(dim, n_planes, seed)
-    bits = []
-    for p in planes:
-        plane_lit = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(F.col("embedding"), plane_lit,
-                       lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    def bucket_col(table: int):
+        planes = make_hyperplanes(dim, n_planes, seed + table)
+        bits = []
+        for p in planes:
+            plane_lit = F.array(*[F.lit(float(x)) for x in p])
+            dot = F.aggregate(
+                F.zip_with(F.col("embedding"), plane_lit,
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.concat(*bits)
+
+    # one row per (vec, table): posexplode over the per-table bucket strings
     bucketed = emb.select(
-        "vec_id", F.concat(*bits).alias("bucket")
+        "vec_id",
+        F.posexplode(F.array(*[bucket_col(t) for t in range(n_tables)])).alias(
+            "table_id", "bucket"
+        ),
     )
     grouped = (
-        bucketed.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
-        .withColumn("ids", F.slice("ids", 1, bucket_cap))
-        .filter(F.size("ids") >= 2)
+        bucketed.groupBy("table_id", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("all_ids"))
+        .withColumn(
+            "overflow", F.greatest(F.size("all_ids") - bucket_cap, F.lit(0))
+        )
+        .withColumn("ids", F.slice("all_ids", 1, bucket_cap))
+        .drop("all_ids")
     )
-    return (
-        grouped.select(
+    grouped = grouped.localCheckpoint()  # reused by capped + pairs
+    capped = grouped.filter(F.col("overflow") > 0).select(
+        "table_id", "bucket", "overflow"
+    )
+    pairs = (
+        grouped.filter(F.size("ids") >= 2)
+        .select(
             F.explode(
                 F.filter(
                     F.flatten(
@@ -183,15 +226,22 @@ def lsh_bucket_candidates(
         .select("p.a", "p.b")
         .dropDuplicates(["a", "b"])
     )
+    return pairs, capped
 
 
 def knn_lsh(
     emb: DataFrame, dim: int, n_queries: int = 10, k: int = 5,
-    n_planes: int = 8, seed: int = 42,
+    n_planes: int = 8, seed: int = 42, n_tables: int = 4,
 ) -> DataFrame:
     """ANN top-k via hyperplane buckets: exact cosine only against same-bucket
-    candidates. Rows-only check (approximate by construction)."""
-    cands = lsh_bucket_candidates(emb, dim, n_planes=n_planes, seed=seed)
+    candidates, unioned over ``n_tables`` independent hash tables (multi-probe
+    recall without coarser buckets). Rows-only check (approximate by
+    construction); tests/test_similarity_recall.py gates recall@k vs brute
+    force."""
+    cands, capped = lsh_bucket_candidates(
+        emb, dim, n_planes=n_planes, seed=seed, n_tables=n_tables
+    )
+    _log_bucket_overflow(capped, "knn_lsh")
     pairs = cands.unionByName(
         cands.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).filter(F.col("a") < n_queries)

@@ -95,20 +95,30 @@ def severity_buckets(docs: DataFrame, threshold: int = 100) -> DataFrame:
 
 def keyword_scan(docs: DataFrame, keywords: tuple[str, ...] = ("dup", "slow", "fast")) -> DataFrame:
     """Keyword hit counting (TODO/FIXME analog, TDFM.py:70-73): for each
-    keyword, docs containing it as a whitespace token + total occurrences."""
+    keyword, docs containing it as a whitespace token + total occurrences.
+
+    ONE corpus scan regardless of K: a single projection builds
+    array<struct(keyword, hits)> per doc, then explode + hash agg — at 100 TB
+    the K-unioned-scans alternative costs K full passes.
+    """
     toks = tokens_col()
-    out = None
-    for kw in keywords:
-        hits = F.size(F.filter(toks, lambda t: t == F.lit(kw)))
-        cur = docs.select(
-            F.lit(kw).alias("keyword"),
-            F.when(hits > 0, 1).otherwise(0).alias("has"),
-            hits.alias("hits"),
+    per_kw = F.array(
+        *[
+            F.struct(
+                F.lit(kw).alias("keyword"),
+                F.size(F.filter(toks, lambda t: t == F.lit(kw))).alias("hits"),
+            )
+            for kw in keywords
+        ]
+    )
+    return (
+        docs.select(F.explode(per_kw).alias("h"))
+        .select("h.keyword", "h.hits")
+        .groupBy("keyword")
+        .agg(
+            F.sum(F.when(F.col("hits") > 0, 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum("hits").cast("long").alias("n_hits"),
         )
-        out = cur if out is None else out.unionByName(cur)
-    return out.groupBy("keyword").agg(
-        F.sum("has").cast("long").alias("n_docs"),
-        F.sum("hits").cast("long").alias("n_hits"),
     )
 
 
@@ -185,46 +195,53 @@ def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
-_FP_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("fingerprint", T.ArrayType(T.LongType())),
-    ]
-)
-
-
 def fingerprint(docs: DataFrame, k: int = 5, window: int = 8) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al. '03): k-gram rolling
-    hashes, keep the min hash of every `window`-sized sliding window (rightmost
-    min), distinct + sorted. Non-SQL-expressible -> rows-only oracle check."""
+    hashes, keep the min hash of every `window`-sized sliding window, distinct
+    + sorted, exploded to scalar rows (doc_id, fp) — array columns crash the
+    driver's rows-only canonicalizer and ship poorly over Arrow anyway.
+
+    Vectorized across the WHOLE Arrow batch: one ``hash_token_lists`` call
+    (factorize + blake2b per distinct token) and one global polynomial pass;
+    the per-doc remainder is numpy slicing + one sliding_window_view min.
+    Non-SQL-expressible -> rows-only oracle check.
+    """
+    import numpy as np
+
     from replicheck_spark.functions import hashing
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _fp(texts: pd.Series) -> pd.Series:
-        import numpy as np
-
+        token_lists = [(t or "").split(" ") for t in texts.tolist()]
+        flat, off = hashing.hash_token_lists(token_lists)
+        total = int(off[-1])
+        # global ordered k-gram polynomial pass (same combine as
+        # hashing.shingle_hashes_flat); acc[i] covers flat[i:i+k], and the
+        # per-doc slice acc[s : e-k+1] never crosses a doc boundary.
+        if total >= k:
+            acc = flat[: total - k + 1].copy()
+            for j in range(1, k):
+                np.multiply(acc, hashing._POLY_PRIME, out=acc)
+                np.add(acc, flat[j : total - k + 1 + j], out=acc)
+            acc = hashing.splitmix64(acc)
+        else:
+            acc = np.empty(0, dtype=np.uint64)
         out = []
-        for t in texts.tolist():
-            toks = (t or "").split(" ")
-            flat, off = hashing.hash_token_lists([toks])
-            # ordered (non-distinct) k-gram hashes
-            n = len(toks)
-            if n < k:
+        for d in range(len(token_lists)):
+            s, e = int(off[d]), int(off[d + 1])
+            if e - s < k:
                 out.append([])
                 continue
-            acc = flat[: n - k + 1].copy()
-            for j in range(1, k):
-                acc = (acc * np.uint64(0x100000001B3) + flat[j : n - k + 1 + j]) & np.uint64(
-                    0xFFFFFFFFFFFFFFFF
-                )
-            acc = hashing.splitmix64(acc)
-            if len(acc) <= window:
-                sel = {int(acc.min())}
+            grams = acc[s : e - k + 1]
+            if len(grams) <= window:
+                sel = grams.min(keepdims=True)
             else:
-                w = np.lib.stride_tricks.sliding_window_view(acc, window)
-                sel = set(w.min(axis=1).tolist())
-            signed = np.fromiter(sel, dtype=np.uint64).astype(np.int64)
-            out.append(sorted(signed.tolist()))
+                w = np.lib.stride_tricks.sliding_window_view(grams, window)
+                sel = w.min(axis=1)
+            out.append(np.unique(sel).astype(np.int64).tolist())
         return pd.Series(out)
 
-    return docs.select("doc_id", _fp(F.col("text")).alias("fingerprint"))
+    fp = docs.select("doc_id", _fp(F.col("text")).alias("fingerprint"))
+    return fp.select(
+        "doc_id", F.explode_outer("fingerprint").alias("fp")
+    )

@@ -3,10 +3,20 @@
 ``readStream`` -> extract/normalize (same pandas UDF as batch) -> per-batch
 ``foreachBatch`` merge into a persistent signature store:
 
-* exact hits: new docs whose sha256 already exists in the store;
-* near hits: LSH band match between the new batch's bands and the store's
-  bands, confirmed by exact Jaccard — i.e. the batch operators reused
+* within-batch hits: exact and LSH-near duplicates arriving in the SAME
+  micro-batch (including the entire first batch) — new x new, the later
+  doc_id flagged as the duplicate;
+* exact hits vs store: new docs whose sha256 already exists in the store;
+* near hits vs store: LSH band match between the new batch's bands and the
+  store's bands, confirmed by exact Jaccard — i.e. the batch operators reused
   verbatim on (delta x state) instead of (corpus x corpus).
+
+Idempotency: Structured Streaming ``foreachBatch`` is at-least-once, so a
+failure after the sink writes but before the checkpoint commit REPLAYS the
+batch. Both sinks are therefore batch_id-keyed partition directories written
+with ``mode=overwrite`` (``.../batch_id=N/``), and the store is always read
+filtered to ``batch_id < current`` — a replay overwrites its own partition
+byte-identically and never matches a doc against its own failed attempt.
 
 State lives in a parquet (prod: Iceberg) directory, so the stream restarts
 idempotently from its own checkpoint + the store — the streaming face of the
@@ -24,8 +34,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from replicheck_spark.config import DedupConfig
 from replicheck_spark.operators.confirm import confirm_pairs
 from replicheck_spark.operators.extract import eligible_docs, extract_docs
-from replicheck_spark.operators.lsh import explode_bands
+from replicheck_spark.operators.lsh import candidate_pairs, explode_bands
 from replicheck_spark.operators.signatures import compute_signatures
+
+HIT_COLS = ["doc_id", "url", "dup_of", "kind"]
 
 
 class IncrementalDedup:
@@ -38,15 +50,72 @@ class IncrementalDedup:
         self.hits_dir = hits_dir
         self.cfg = cfg
 
-    def _store_exists(self) -> bool:
-        return os.path.exists(os.path.join(self.store_dir, "_SUCCESS"))
+    def _prior_batch_dirs(self, batch_id: int) -> list[str]:
+        if not os.path.isdir(self.store_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.store_dir)):
+            if not name.startswith("batch_id="):
+                continue
+            bid = int(name.split("=", 1)[1])
+            if bid < batch_id and os.path.exists(
+                os.path.join(self.store_dir, name, "_SUCCESS")
+            ):
+                out.append(os.path.join(self.store_dir, name))
+        return out
+
+    def _within_batch_hits(self, sigs_new: DataFrame) -> DataFrame:
+        """new x new duplicates; there is no arrival order INSIDE a micro-batch
+        (doc_id is xxhash64(url), not a sequence), so the canonical original of
+        a within-batch dup pair is the lexicographically smallest url — same
+        deterministic-tiebreak discipline as clusters_from_labels.
+
+        Exact: min-url member of each sha256 group is the original. Near: the
+        batch LSH+confirm operators verbatim; the greater-url side of each
+        confirmed edge is the duplicate. Non-representative members of a
+        within-batch exact group are already flagged exact, so
+        representative-level near edges suffice for hit detection.
+        """
+        cfg = self.cfg
+        reps = (
+            sigs_new.groupBy("sha256")
+            .agg(
+                F.min_by(F.struct("url", "doc_id"), "url").alias("rep"),
+                F.count("*").alias("n"),
+            )
+            .filter(F.col("n") >= 2)
+            .select(
+                "sha256",
+                F.col("rep.doc_id").alias("rep_id"),
+                F.col("rep.url").alias("dup_of"),
+            )
+        )
+        exact_in = (
+            sigs_new.join(reps, "sha256")
+            .filter(F.col("doc_id") != F.col("rep_id"))
+            .select("doc_id", "url", "dup_of", F.lit("exact").alias("kind"))
+        )
+        cands, _ = candidate_pairs(explode_bands(sigs_new, cfg), cfg)
+        edges = confirm_pairs(cands, sigs_new, cfg)
+        dup_is_b = F.col("b_url") > F.col("a_url")
+        near_in = edges.select(
+            F.when(dup_is_b, F.col("b")).otherwise(F.col("a")).alias("doc_id"),
+            F.when(dup_is_b, F.col("b_url")).otherwise(F.col("a_url")).alias("url"),
+            F.when(dup_is_b, F.col("a_url")).otherwise(F.col("b_url")).alias("dup_of"),
+            F.col("kind"),
+        )
+        return exact_in.unionByName(near_in)
 
     def process_batch(self, pages_batch: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
         docs_new = eligible_docs(extract_docs(pages_batch), cfg.min_size)
         sigs_new = compute_signatures(docs_new, cfg).localCheckpoint()
-        if self._store_exists():
-            store = self.spark.read.parquet(self.store_dir)
+
+        hits = self._within_batch_hits(sigs_new)
+
+        prior = self._prior_batch_dirs(batch_id)
+        if prior:
+            store = self.spark.read.parquet(*prior)
             # exact hits: sha already present
             exact_hits = (
                 sigs_new.select("doc_id", "url", "sha256")
@@ -54,8 +123,7 @@ class IncrementalDedup:
                     store.select(F.col("sha256"), F.col("url").alias("dup_of")),
                     "sha256",
                 )
-                .select("doc_id", "url", "dup_of", F.lit("exact").alias("kind"),
-                        F.lit(batch_id).alias("batch_id"))
+                .select("doc_id", "url", "dup_of", F.lit("exact").alias("kind"))
             )
             # near hits: band collision new x store, Jaccard-confirmed
             new_bands = explode_bands(sigs_new, cfg).select(
@@ -75,15 +143,19 @@ class IncrementalDedup:
             near = confirm_pairs(cands, both, cfg).select(
                 F.col("a").alias("doc_id"), F.col("a_url").alias("url"),
                 F.col("b_url").alias("dup_of"), F.col("kind"),
-                F.lit(batch_id).alias("batch_id"),
             )
-            hits = exact_hits.unionByName(near)
-            hits.write.mode("append").parquet(self.hits_dir)
-            sigs_new.write.mode("append").parquet(self.store_dir)
-        else:
-            sigs_new.write.mode("overwrite").parquet(self.store_dir)
+            hits = hits.unionByName(exact_hits).unionByName(near)
+
+        # batch_id-keyed overwrite => replay-idempotent (see module docstring)
+        hits.select(HIT_COLS).write.mode("overwrite").parquet(
+            f"{self.hits_dir}/batch_id={batch_id}"
+        )
+        sigs_new.write.mode("overwrite").parquet(
+            f"{self.store_dir}/batch_id={batch_id}"
+        )
 
     def hits(self) -> DataFrame:
+        # partition discovery restores batch_id from the directory names
         return self.spark.read.parquet(self.hits_dir)
 
 

@@ -1,0 +1,80 @@
+"""Recall gates for the approximate similarity paths: 'correct' must mean
+more than 'returns rows'.
+
+The sf0.001 embeddings are random (near-orthogonal — the WORST case for
+hyperplane LSH: true top-5 neighbors sit at ~60 deg). Measured recall@5 vs
+brute force on this table: planes=8/tables=1 -> 0.02; planes=4/tables=16 ->
+0.92; planes=4/tables=32 -> 1.00. The gate pins the 0.9 operating point.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark, emb):
+    from replicheck_spark.operators import similarity
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_lsh(
+            emb, dim=64, n_queries=10, k=5, n_planes=4, n_tables=16
+        ).collect()
+    }
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.9, f"knn_lsh recall@5 {recall:.3f} < 0.9"
+
+
+def test_lsh_bucket_truncation_is_metered(spark, emb):
+    """A tiny bucket_cap MUST surface overflow in the capped frame — silent
+    truncation makes recall loss unattributable."""
+    from replicheck_spark.operators import similarity
+
+    pairs, capped = similarity.lsh_bucket_candidates(
+        emb, dim=64, n_planes=2, bucket_cap=8, n_tables=1
+    )
+    total_overflow = sum(r["overflow"] for r in capped.collect())
+    # 500 vectors over 4 buckets with cap 8 -> massive metered overflow
+    assert total_overflow > 400
+    # and the pair list respects the cap: <= C(8,2) pairs per bucket * 4
+    assert pairs.count() <= 4 * 28
+
+
+def test_simhash_agrees_with_hamming_on_oracle_signatures(spark):
+    """SimHash contract: for every emitted pair, hamming == the Hamming
+    distance between independently recomputed per-doc simhashes (pure-numpy
+    path, no Spark) — strengthens the rows-only driver check."""
+    import numpy as np
+
+    from replicheck_spark.config import DedupConfig
+    from replicheck_spark.functions.hashing import shingle_hash_set
+    from replicheck_spark.functions.minhash import simhash_flat
+    from replicheck_spark.functions.textnorm import tokenize
+    from replicheck_spark.operators import dedup_ops
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = DedupConfig()
+    pairs = dedup_ops.simhash_pairs(docs, cfg).collect()
+    assert pairs, "expected at least one simhash pair on sf0.001"
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def sim(doc_id: int) -> int:
+        sh = shingle_hash_set(tokenize(texts[doc_id]), cfg.shingle_k)
+        off = np.array([0, len(sh)], dtype=np.int64)
+        return int(simhash_flat(sh, off)[0])
+
+    for r in pairs:
+        expect = bin(sim(r["a"]) ^ sim(r["b"])).count("1")
+        assert r["hamming"] == expect, (r["a"], r["b"], r["hamming"], expect)
+        assert r["hamming"] <= cfg.hamming_max

@@ -77,3 +77,77 @@ def test_incremental_dedup(spark, tmp_path):
     assert ("https://c.example/3", "exact") in kinds
     assert ("https://d.example/4", "near") in kinds
     assert all(r["url"] != "https://e.example/5" for r in hits)
+
+
+@pytest.mark.slow
+def test_within_batch_duplicates_detected(spark, tmp_path):
+    """Exact and near duplicates arriving in the SAME micro-batch (here: the
+    very first batch) are emitted as hits, later-arrival (greater doc_id /
+    later url) flagged as the duplicate of the earlier one."""
+    src = tmp_path / "src"
+    src.mkdir()
+    base = " ".join(f"t{i}" for i in range(120))
+    near = " ".join((["x"] + [f"t{i}" for i in range(1, 120)]))
+    _write(
+        [
+            _row("https://a.example/1", base),
+            _row("https://b.example/2", base),   # exact dup, same batch
+            _row("https://c.example/3", near),   # near dup, same batch
+        ],
+        str(src / "b1.parquet"),
+    )
+    q = start_incremental_dedup(
+        spark, str(src), str(tmp_path / "store"), str(tmp_path / "hits"),
+        str(tmp_path / "ckpt"), DedupConfig(),
+    )
+    q.awaitTermination(120)
+    hits = spark.read.parquet(str(tmp_path / "hits")).collect()
+    by_url = {r["url"]: r for r in hits}
+    assert by_url["https://b.example/2"]["kind"] == "exact"
+    assert by_url["https://b.example/2"]["dup_of"] == "https://a.example/1"
+    assert by_url["https://c.example/3"]["kind"] == "near"
+    # one of the two identical originals is the near match's counterpart
+    assert by_url["https://c.example/3"]["dup_of"] in {
+        "https://a.example/1", "https://b.example/2"
+    }
+    # originals themselves are not hits
+    assert "https://a.example/1" not in by_url
+
+
+@pytest.mark.slow
+def test_replay_same_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: reprocessing the same batch_id (crash
+    after sink write, before checkpoint commit) must not duplicate hit rows or
+    store signatures."""
+    from replicheck_spark.streaming.incremental import IncrementalDedup
+
+    base = " ".join(f"t{i}" for i in range(120))
+    handler = IncrementalDedup(
+        spark, str(tmp_path / "store"), DedupConfig(), str(tmp_path / "hits")
+    )
+    import pandas as pd
+
+    def batch_df(rows):
+        return spark.createDataFrame(pages_to_pandas(rows))
+
+    b0 = [_row("https://a.example/1", base), _row("https://b.example/2", base)]
+    handler.process_batch(batch_df(b0), 0)
+    b1 = [_row("https://c.example/3", base)]
+    handler.process_batch(batch_df(b1), 1)
+    hits_once = sorted(
+        (r["url"], r["kind"], r["batch_id"]) for r in handler.hits().collect()
+    )
+    store_once = spark.read.parquet(str(tmp_path / "store")).count()
+
+    # replay both batches (same ids) — e.g. restart after a lost commit
+    handler.process_batch(batch_df(b0), 0)
+    handler.process_batch(batch_df(b1), 1)
+    hits_twice = sorted(
+        (r["url"], r["kind"], r["batch_id"]) for r in handler.hits().collect()
+    )
+    assert hits_twice == hits_once
+    assert spark.read.parquet(str(tmp_path / "store")).count() == store_once
+    # the replayed store batch never matched the doc against its own
+    # prior attempt: /3 is a dup of an earlier batch's doc, not of itself
+    dup_of = {r["url"]: r["dup_of"] for r in handler.hits().collect()}
+    assert dup_of["https://c.example/3"] != "https://c.example/3"
