@@ -98,6 +98,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash_pairs(spark, sf):
         return dedup_ops.simhash_pairs(docs(spark, sf), cfg)
 
+    def q_cluster_labels(spark, sf):
+        return dedup_ops.cluster_labels(docs(spark, sf), k=5, threshold=0.8)
+
+    def q_substr_pairs(spark, sf):
+        from replicheck_spark.operators.substr import substr_pairs
+
+        # fixture docs are 10-99 tokens; 30-token shared runs exist, 100s don't
+        sub_cfg = DedupConfig(**{**cfg.to_dict(), "substr_min_tokens": 30})
+        return substr_pairs(docs(spark, sf), sub_cfg)
+
+    def q_block_exact_dups(spark, sf):
+        from replicheck_spark.operators.blocks import block_exact_dups
+
+        return block_exact_dups(docs(spark, sf), block_tokens=50)
+
     def q_knn_bruteforce(spark, sf):
         return similarity.knn_bruteforce(_t(spark, sf, "embeddings"), 10, 5)
 
@@ -195,6 +210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "cluster_labels": q_cluster_labels,
+        "substr_pairs": q_substr_pairs,
+        "block_exact_dups": q_block_exact_dups,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -367,6 +385,48 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.8
               AND a_text <> b_text
+        """,
+        "cluster_labels": f"""
+            WITH RECURSIVE {_SHINGLES_CTE.strip().rstrip()},
+            pairs AS (
+                SELECT a, b FROM inter
+                WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.8
+            ),
+            e AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION SELECT b, a FROM pairs),
+            walk(node, reach) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT w.node, e.dst FROM walk w JOIN e ON w.reach = e.src
+            )
+            SELECT node AS doc_id, min(reach) AS cluster_id
+            FROM walk GROUP BY node
+        """,
+        "substr_pairs": """
+            WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS t
+                        FROM documents),
+            w AS (
+                SELECT doc_id, text,
+                       unnest([array_to_string(t[i:i+29], ' ')
+                               for i in range(1, greatest(len(t)-28, 1))]) AS win
+                FROM tk
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM w x JOIN w y
+              ON x.win = y.win AND x.doc_id < y.doc_id AND x.text <> y.text
+        """,
+        "block_exact_dups": """
+            WITH u AS (
+                SELECT doc_id,
+                       unnest([array_to_string(t[(i-1)*50+1 : i*50], ' ')
+                               for i in range(1, CAST(ceil(len(t)/50.0) AS BIGINT)+1)]) AS bt
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+            )
+            SELECT sha256(bt) AS block_sha,
+                   count(*) AS n_blocks,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM u GROUP BY bt
+            HAVING count(DISTINCT doc_id) >= 2
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb

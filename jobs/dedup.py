@@ -37,7 +37,9 @@ def parse_args(argv):
     p.add_argument("--shingle-k", type=int, default=5)
     p.add_argument("--no-substr", action="store_true")
     p.add_argument("--master", default=None, help="spark master (default local[N])")
-    p.add_argument("--output-format", choices=["text", "json"], default="text")
+    p.add_argument(
+        "--output-format", choices=["text", "json", "markdown"], default="text"
+    )
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -50,7 +52,9 @@ def main(argv=None) -> int:
         cluster_summary,
         edge_summary,
         render_json,
+        render_markdown,
         render_text,
+        severity_counts,
     )
     from replicheck_spark.plans.pipeline import run_dedup
     from replicheck_spark.session import get_spark
@@ -89,6 +93,9 @@ def main(argv=None) -> int:
         out["docs"] = n_docs
         out["docs_per_sec"] = round(n_docs / wall, 1)
         print(json.dumps(out, indent=2))
+    elif args.output_format == "markdown":
+        print(render_markdown(summary, edges, severity_counts(result.docs)))
+        print(f"Processed {n_docs} docs in {wall:.1f}s ({n_docs / wall:.0f} docs/sec)")
     else:
         print(render_text(summary, edges))
         print(f"Processed {n_docs} docs in {wall:.1f}s ({n_docs / wall:.0f} docs/sec)")

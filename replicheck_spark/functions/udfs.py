@@ -101,6 +101,24 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
     return signature.asNondeterministic()
 
 
+def make_shingle_hash_udf(shingle_k: int):
+    """Lean signature for stages that only need the distinct shingle-hash
+    array (e.g. substring anchor sampling) — skips the MinHash/SimHash/band
+    work of make_signature_udf."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def shingles(text: pd.Series) -> pd.Series:
+        token_lists = [tokenize(t) if t else [] for t in text.tolist()]
+        flat_tok, tok_off = hashing.hash_token_lists(token_lists)
+        flat_sh, sh_off = hashing.shingle_hashes_flat(flat_tok, tok_off, shingle_k)
+        sh64 = flat_sh.astype(np.int64)
+        return pd.Series(
+            [sh64[sh_off[i] : sh_off[i + 1]] for i in range(len(token_lists))]
+        )
+
+    return shingles.asNondeterministic()
+
+
 def hamming64_col(a, b):
     """JVM-side Hamming distance between two int64 SimHash columns."""
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))

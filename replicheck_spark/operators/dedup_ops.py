@@ -175,6 +175,22 @@ def minhash_lsh_pairs(
     )
 
 
+def cluster_labels(docs: DataFrame, k: int = 5, threshold: float = 0.8) -> DataFrame:
+    """Cluster membership over the exact-Jaccard pair graph:
+    (doc_id, cluster_id) with cluster_id = min reachable doc_id.
+
+    Edges are ngram_jaccard_pairs at ``threshold`` — identical texts have
+    jaccard 1.0, so exact-duplicate cliques are included without a separate
+    exact-edge union. SQL-expressible (DuckDB recursive-CTE transitive
+    closure), making the iterative connected-components operator
+    driver-checkable end to end.
+    """
+    from replicheck_spark.operators.components import connected_components
+
+    edges = ngram_jaccard_pairs(docs, k=k, threshold=threshold).select("a", "b")
+    return connected_components(edges)
+
+
 def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """SimHash near-dup pairs: LSH candidates filtered by Hamming <=
     hamming_max: (a, b, hamming). Rows-only correctness check (SimHash is not

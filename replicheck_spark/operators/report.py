@@ -64,3 +64,75 @@ def render_text(summary: dict, edge_counts: dict) -> str:
 
 def render_json(summary: dict, edge_counts: dict) -> str:
     return json.dumps({"summary": summary, "edges_by_kind": edge_counts}, indent=2)
+
+
+SEVERITY_ORDER = ["Critical", "High", "Medium", "Low", "None"]
+
+
+def severity_counts(docs: DataFrame, threshold: int = 100) -> dict:
+    """Per-severity doc counts (textops ladder) for the report's severity
+    breakdown — the analog of the reference's per-section severity summaries
+    (reporter.py:29-93 summary lambdas)."""
+    from replicheck_spark.operators.textops import severity_buckets
+
+    rows = severity_buckets(docs.select(F.col("norm_text").alias("text")),
+                            threshold=threshold).collect()
+    return {r["severity"]: r["n_docs"] for r in rows}
+
+
+def _severity_suffix(counts: dict) -> str:
+    parts = [
+        f"{counts[sev]} {sev}" for sev in SEVERITY_ORDER
+        if counts.get(sev) and sev != "None"
+    ]
+    return f" ({', '.join(parts)})" if parts else ""
+
+
+def _md_link(url: str) -> str:
+    """Markdown-linked location (reference _format_path markdown mode,
+    reporter.py:166-171)."""
+    return f"[{url}]({url})"
+
+
+def render_markdown(
+    summary: dict, edge_counts: dict, sev_counts: dict | None = None
+) -> str:
+    """Markdown report (reference _generate_markdown_report,
+    reporter.py:321-370): a `## Summary` of per-section counts with severity
+    breakdowns, then one section per result family, linked canonicals,
+    bolded empty-state messages."""
+    md = ["# replicheck_spark dedup report", "", "## Summary"]
+    n = summary["n_clusters"]
+    md.append(
+        f"- {n} duplicate clusters ({summary['n_cross_host']} cross-host)"
+        if n else "- 0 duplicate clusters ✅"
+    )
+    md.append(f"- {summary['n_member_docs']} docs in clusters")
+    if sev_counts:
+        total = sum(v for k, v in sev_counts.items() if k != "None")
+        md.append(f"- {total} docs at or above Low severity"
+                  + _severity_suffix(sev_counts))
+    md.append(
+        "- edges: "
+        + ", ".join(f"{v} {k}" for k, v in sorted(edge_counts.items()))
+        if edge_counts else "- 0 edges ✅"
+    )
+    md.append("")
+    md.append("## Duplicate clusters")
+    if summary["top_clusters"]:
+        for i, c in enumerate(summary["top_clusters"], 1):
+            cross = " (cross-host)" if c["cross_host"] else ""
+            md.append(
+                f"- Cluster #{i}: size={c['size']} docs{cross} — canonical "
+                + _md_link(c["canonical_url"])
+            )
+    else:
+        md.append("**No duplicate clusters found.**")
+    md.append("")
+    if sev_counts is not None:
+        md.append("## Severity breakdown")
+        for sev in SEVERITY_ORDER:
+            if sev_counts.get(sev):
+                md.append(f"- {sev}: {sev_counts[sev]} docs")
+        md.append("")
+    return "\n".join(md)

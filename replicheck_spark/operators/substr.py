@@ -227,3 +227,42 @@ def substr_edges(
         F.lit("substr").alias("kind"),
         "run_tokens",
     )
+
+
+def substr_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Documents-table face of the substring stage: (a, b) doc pairs sharing a
+    verbatim run of >= cfg.substr_min_tokens whitespace tokens, distinct texts
+    only (identical texts belong to the exact stage).
+
+    SQL-expressible contract (DuckDB oracle): two docs share an L-token run
+    iff they share an L-token window — the anchor-sampled + verified Spark
+    path reproduces that set (anchor miss probability ~e^-8 per qualifying
+    pair). Representative-level pairs are expanded back to all members of
+    each identical-text group, mirroring minhash_lsh_pairs.
+    """
+    from replicheck_spark.functions.udfs import make_shingle_hash_udf
+    from replicheck_spark.operators.dedup_ops import _expand_exact_members
+
+    sh_udf = make_shingle_hash_udf(cfg.shingle_k)
+    sigs = docs.select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("url"),
+        F.sha2("text", 256).alias("sha256"),
+        sh_udf(F.col("text")).alias("shingles"),
+    ).localCheckpoint()  # consumed by both the anchor and expansion branches
+    cand, _capped = anchor_pairs(sigs, cfg)
+    d = docs.select(
+        "doc_id", F.col("doc_id").cast("string").alias("url"),
+        F.col("text").alias("norm_text"),
+    )
+    rep_edges = substr_edges(cand, d, cfg)
+    members = sigs.select("doc_id", "sha256")
+    sha_of = members
+    with_shas = (
+        rep_edges.select("a", "b")
+        .join(sha_of.select(F.col("doc_id").alias("a"),
+                            F.col("sha256").alias("a_sha")), "a")
+        .join(sha_of.select(F.col("doc_id").alias("b"),
+                            F.col("sha256").alias("b_sha")), "b")
+    )
+    return _expand_exact_members(with_shas, members, [])

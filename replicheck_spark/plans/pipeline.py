@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from replicheck_spark.config import DedupConfig
 from replicheck_spark.operators.components import (
@@ -86,28 +86,42 @@ def run_dedup(
     if pages.rdd.getNumPartitions() < parallelism:
         pages = pages.repartition(parallelism)
 
-    def stage(name: str, build, rows_in_df: DataFrame | None = None, dropped=0):
-        """Run (or resume) one stage: build() -> DataFrame, checkpointed."""
+    # stage-total output counts observed during each stage's own write job;
+    # threaded as the downstream stage's rows_in (no separate count jobs).
+    observed: dict[str, int] = {}
+
+    def stage(name: str, build, rows_in: str | None = None, dropped=0):
+        """Run (or resume) one stage: build() -> DataFrame, checkpointed.
+
+        rows_in names the UPSTREAM stage whose observed rows_out feeds this
+        stage (-1 when unknown, e.g. raw input or resumed upstream).
+        """
         if checkpoint == "min" and name not in durable:
             return build().localCheckpoint()
         if io.exists(name):
             return io.read(name)
         with StageTimer() as t:
             out = build()
-            io.write(name, out)
+            obs = Observation(f"stage_{name}")
+            io.write(
+                name, out.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+            )
+            observed[name] = int(obs.get["rows_out"])
         out = io.read(name)
         if collect_metrics:
-            rows_in = rows_in_df.count() if rows_in_df is not None else 0
-            sink.record_stage(name, out, rows_in, t.wall_ms, dropped=int(dropped))
+            sink.record_stage(
+                name, out, observed.get(rows_in, -1), t.wall_ms,
+                dropped=int(dropped), rows_out=observed[name],
+            )
         return out
 
-    docs = stage("docs", lambda: extract_docs(pages), pages)
+    docs = stage("docs", lambda: extract_docs(pages))
     elig = eligible_docs(docs, cfg.min_size)
 
-    exact_g = stage("exact_groups", lambda: exact_groups(elig), elig)
-    exact_e = stage("exact_edges", lambda: exact_edges(elig), elig)
+    exact_g = stage("exact_groups", lambda: exact_groups(elig), "docs")
+    exact_e = stage("exact_edges", lambda: exact_edges(elig), "docs")
 
-    sigs = stage("signatures", lambda: compute_signatures(elig, cfg), elig)
+    sigs = stage("signatures", lambda: compute_signatures(elig, cfg), "docs")
 
     def build_cands():
         bands = explode_bands(sigs, cfg)
@@ -119,10 +133,10 @@ def run_dedup(
                 sink.record_stage("cands_capped", capped, 0, 0, dropped=int(n_capped))
         return pairs
 
-    cands = stage("cand_pairs", build_cands, sigs)
+    cands = stage("cand_pairs", build_cands, "signatures")
 
     near_e = stage(
-        "near_edges", lambda: confirm_pairs(cands, sigs, cfg), cands
+        "near_edges", lambda: confirm_pairs(cands, sigs, cfg), "cand_pairs"
     )
 
     if with_substr:
@@ -137,7 +151,7 @@ def run_dedup(
             fresh = sub_cand.join(near_e.select("a", "b"), ["a", "b"], "left_anti")
             return substr_edges(fresh, docs, cfg).drop("run_tokens")
 
-        substr_e = stage("substr_edges", build_substr, sigs)
+        substr_e = stage("substr_edges", build_substr, "signatures")
     else:
         substr_e = spark.createDataFrame([], _norm_edges(near_e).schema)
 
@@ -147,12 +161,12 @@ def run_dedup(
         .unionByName(_norm_edges(near_e))
         .unionByName(_norm_edges(substr_e))
         .dropDuplicates(["a", "b", "kind"]),
-        near_e,
+        "near_edges",
     )
 
-    labels = stage("labels", lambda: connected_components(edges), edges)
+    labels = stage("labels", lambda: connected_components(edges), "edges")
     clusters = stage(
-        "clusters", lambda: clusters_from_labels(labels, docs), labels
+        "clusters", lambda: clusters_from_labels(labels, docs), "labels"
     )
 
     return DedupResult(

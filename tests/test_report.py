@@ -11,7 +11,9 @@ from replicheck_spark.operators.report import (
     cluster_summary,
     edge_summary,
     render_json,
+    render_markdown,
     render_text,
+    severity_counts,
 )
 from replicheck_spark.plans.pipeline import run_dedup
 
@@ -43,6 +45,33 @@ def test_json_report_roundtrip(small_result):
     assert doc["summary"]["n_clusters"] == summary["n_clusters"]
     assert set(doc["edges_by_kind"]) <= {"exact", "near", "substr"}
     assert len(doc["summary"]["top_clusters"]) <= 3
+
+
+def test_markdown_report_golden_lines(small_result):
+    summary = cluster_summary(small_result.clusters, top_k=3)
+    edges = edge_summary(small_result.edges)
+    sev = severity_counts(small_result.docs)
+    md = render_markdown(summary, edges, sev)
+    assert md.startswith("# replicheck_spark dedup report")
+    assert "## Summary" in md
+    assert f"- {summary['n_clusters']} duplicate clusters" in md
+    assert "## Duplicate clusters" in md
+    # canonicals rendered as markdown links (reference _format_path md mode)
+    top = summary["top_clusters"][0]["canonical_url"]
+    assert f"[{top}]({top})" in md
+    assert "## Severity breakdown" in md
+    # severity parenthetical in the summary (reference summary-lambda shape)
+    assert "docs at or above Low severity" in md
+    # deterministic re-render
+    assert md == render_markdown(summary, edges, sev)
+
+
+def test_markdown_empty_sections(spark):
+    empty = {"n_clusters": 0, "n_member_docs": 0, "n_cross_host": 0,
+             "max_size": 0, "top_clusters": []}
+    md = render_markdown(empty, {})
+    assert "- 0 duplicate clusters ✅" in md
+    assert "**No duplicate clusters found.**" in md
 
 
 def test_topk_ordering_deterministic(small_result):
