@@ -192,5 +192,9 @@ def write_pages_parquet(path: str, n_docs: int = 2000, seed: int = 42) -> Plante
         ]
     )
     table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
-    pq.write_table(table, path)
+    # bounded row groups: a single-row-group file is ONE unsplittable scan
+    # task no matter what maxPartitionBytes says — the read serializes and
+    # the extract stage stops scaling with cores (measured: flat 37s at both
+    # local[8] and local[32] on a 400k-doc single-group file)
+    pq.write_table(table, path, row_group_size=10_000)
     return truth

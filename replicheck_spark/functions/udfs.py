@@ -49,10 +49,14 @@ def signature_schema() -> T.StructType:
     # confirm is then a JVM array_intersect on longs (measured ~20x faster
     # than rebuilding string shingles with interpreted higher-order
     # expressions at confirm time).
+    #
+    # The raw 128-perm minhash matrix is NOT shipped: bands are derived from
+    # it inside the UDF and nothing downstream reads the raw values — at 1 KB
+    # per doc the column was ~30% of the signature stage's Arrow + parquet
+    # volume (1 PB of dead weight at 10^12 docs).
     return T.StructType(
         [
             T.StructField("shingles", T.ArrayType(T.LongType()), False),
-            T.StructField("minhash", T.ArrayType(T.LongType()), False),
             T.StructField("simhash", T.LongType(), False),
             T.StructField("bands", T.ArrayType(T.LongType()), False),
         ]
@@ -79,7 +83,6 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
         m = mh.minhash_flat(flat_sh, sh_off, coeffs)        # (n, num_perm) uint64
         s = mh.simhash_flat(flat_sh, sh_off)                # (n,) uint64
         b = mh.band_hashes(m, bands, rows)                  # (n, bands) uint64
-        m64 = m.astype(np.int64)
         b64 = b.astype(np.int64)
         s64 = s.astype(np.int64)
         sh64 = flat_sh.astype(np.int64)
@@ -89,7 +92,6 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
                 "shingles": [
                     sh64[sh_off[i] : sh_off[i + 1]] for i in range(n)
                 ],
-                "minhash": [m64[i] for i in range(n)],
                 "simhash": s64.tolist(),
                 "bands": [b64[i] for i in range(n)],
             }

@@ -162,7 +162,6 @@ def minhash_lsh_pairs(
         .select(
             "doc_id", "url", "sha256",
             F.col("sig.shingles").alias("shingles"),
-            F.col("sig.minhash").alias("minhash"),
             F.col("sig.simhash").alias("simhash"),
             F.col("sig.bands").alias("bands"),
         )

@@ -26,16 +26,24 @@ from replicheck_spark.config import DedupConfig
 
 
 def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """signatures -> (doc_id, sha256, band_id, band_hash, salt), exact-dup
-    suppressed to one representative per (band, hash, sha256)."""
-    b = signatures.select(
-        "doc_id",
-        "sha256",
-        F.posexplode("bands").alias("band_id", "band_hash"),
+    """signatures -> (doc_id, band_id, band_hash, salt), exact-dup suppressed
+    to one representative per identical-text (sha256) group.
+
+    Suppression happens BEFORE the explode: identical texts have identical
+    band vectors, so the global per-sha representative (min doc_id) is
+    exactly the per-(band, hash, sha) min the semantics require — one
+    map-side-combined hash agg over doc rows, instead of a bands-times-larger
+    post-explode groupBy keyed on 64-char sha strings (measured: the
+    post-explode version ANTI-scaled 8->32 cores at 400k docs; the string key
+    dominated the shuffle).
+    """
+    reps = signatures.select("sha256", "doc_id", "bands").groupBy("sha256").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.first("bands").alias("bands"),  # identical within a sha group
     )
-    # one representative per identical-content group per bucket (step 2)
-    b = b.groupBy("band_id", "band_hash", "sha256").agg(
-        F.min("doc_id").alias("doc_id")
+    b = reps.select(
+        "doc_id",
+        F.posexplode("bands").alias("band_id", "band_hash"),
     )
     return b.withColumn(
         "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets))

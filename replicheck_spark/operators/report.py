@@ -43,8 +43,17 @@ def edge_summary(edges: DataFrame) -> dict:
     return {r["kind"]: r["count"] for r in rows}
 
 
-def render_text(summary: dict, edge_counts: dict) -> str:
-    """Reference-flavored text report (reporter.py:121-131 duplicate section)."""
+def _osc8(url: str) -> str:
+    """OSC-8 terminal hyperlink (reference _format_path terminal mode,
+    reporter.py:171-177): clickable in supporting terminals, plain text
+    elsewhere."""
+    return f"\033]8;;{url}\033\\{url}\033]8;;\033\\"
+
+
+def render_text(summary: dict, edge_counts: dict, hyperlinks: bool = False) -> str:
+    """Reference-flavored text report (reporter.py:121-131 duplicate section);
+    ``hyperlinks=True`` wraps canonicals in OSC-8 escapes for terminals."""
+    link = _osc8 if hyperlinks else (lambda u: u)
     lines = [
         "=== replicheck_spark dedup report ===",
         f"Duplicate clusters: {summary['n_clusters']} "
@@ -57,7 +66,8 @@ def render_text(summary: dict, edge_counts: dict) -> str:
     for i, c in enumerate(summary["top_clusters"], 1):
         flag = " (cross-host)" if c["cross_host"] else ""
         lines.append(
-            f"Cluster #{i}: size={c['size']} docs{flag} canonical={c['canonical_url']}"
+            f"Cluster #{i}: size={c['size']} docs{flag} "
+            f"canonical={link(c['canonical_url'])}"
         )
     return "\n".join(lines)
 

@@ -1,5 +1,5 @@
 """Stage SIGN: docs -> signatures(doc_id, url, host, n_tokens, sha256,
-shingles, minhash, simhash, bands).
+shingles, simhash, bands).
 
 One Arrow exchange per batch: the signature pandas UDF computes shingle
 hashes, 128-perm MinHash, 64-bit SimHash and the LSH band keys in a single
@@ -28,7 +28,6 @@ def compute_signatures(elig: DataFrame, cfg: DedupConfig) -> DataFrame:
         .select(
             "doc_id", "url", "host", "n_tokens", "sha256",
             F.col("sig.shingles").alias("shingles"),
-            F.col("sig.minhash").alias("minhash"),
             F.col("sig.simhash").alias("simhash"),
             F.col("sig.bands").alias("bands"),
         )

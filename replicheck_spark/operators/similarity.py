@@ -82,6 +82,12 @@ def embedding_dup_pairs(
     (no separate count()/first() actions), and the limit is BYTES
     (n * dim * 8), not a row count — 200k rows of 768-dim vectors is ~1.2 GB
     and must NOT go down the broadcast path.
+
+    Threshold membership is a float comparison whose summation order differs
+    across engines (numpy BLAS here vs e.g. DuckDB list_cosine_similarity in
+    the oracle): a pair landing EXACTLY at the threshold can flip. Keep
+    planted fixtures clear of the threshold (or compare ranks) when using
+    this operator in an exact-parity gate.
     """
     import pandas as pd
     from pyspark.sql import types as T

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from replicheck_spark.config import DedupConfig
-from replicheck_spark.functions.hashing import MASK64, U64, token_hash64
+from replicheck_spark.functions.hashing import MASK64, U64
 from replicheck_spark.functions.textnorm import tokenize
 
 _B = U64(0x100000001B3)
@@ -72,7 +72,8 @@ def _common(pre_a: np.ndarray, pre_b: np.ndarray, m: int) -> bool:
 
 
 def longest_common_run_hashed(
-    a: list[int] | np.ndarray, b: list[int] | np.ndarray, min_run: int = 1
+    a: list[int] | np.ndarray, b: list[int] | np.ndarray, min_run: int = 1,
+    exact: bool = True,
 ) -> int:
     """Longest common contiguous run of two int sequences, or 0 if it is
     shorter than ``min_run``.
@@ -81,6 +82,11 @@ def longest_common_run_hashed(
     case (candidate pairs sharing an anchor shingle but no long run) in a
     single pass; only genuine hits pay the O(n log n) binary search. Rolling
     64-bit hashes; collision probability ~2^-64 per window, accepted.
+
+    ``exact=False`` skips the binary search and returns ``min_run`` as soon
+    as the threshold test passes — a >= answer, severalfold cheaper. The
+    pipeline uses this (it only needs the edge, not the length); report paths
+    wanting the true length keep the default.
     """
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
@@ -91,6 +97,8 @@ def longest_common_run_hashed(
     lo = max(min_run, 1)
     if lo > hi or not _common(pre_a, pre_b, lo):
         return 0
+    if not exact:
+        return lo
     best = lo
     lo += 1
     while lo <= hi:
@@ -163,12 +171,13 @@ _VERIFY_SCHEMA = T.StructType(
 
 
 def substr_edges(
-    cand: DataFrame, docs: DataFrame, cfg: DedupConfig
+    cand: DataFrame, docs: DataFrame, cfg: DedupConfig, exact_run: bool = True
 ) -> DataFrame:
     """Verify candidate pairs; keep runs >= substr_min_tokens.
 
     -> edges(a, b, a_url, b_url, jaccard=null, hamming=null, kind='substr',
-    run_tokens).
+    run_tokens). ``exact_run=False`` -> run_tokens is the threshold (a lower
+    bound), skipping the per-pair binary search.
     """
     d = docs.select("doc_id", "url", "norm_text")
     joined = (
@@ -194,22 +203,28 @@ def substr_edges(
     min_run = cfg.substr_min_tokens
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from replicheck_spark.functions.hashing import hash_token_lists
+
         for pdf in batches:
-            cache: dict[str, np.ndarray] = {}
+            # hash every DISTINCT text of the batch in one flattened pass
+            # (factorize -> one blake2b per distinct token) instead of a
+            # per-token Python loop per row
+            uniq = pd.unique(
+                pd.concat([pdf["a_text"], pdf["b_text"]], ignore_index=True)
+            )
+            flat, off = hash_token_lists([tokenize(t) for t in uniq])
+            cache = {
+                t: flat[off[i] : off[i + 1]] for i, t in enumerate(uniq)
+            }
 
             def tok_hashes(text: str) -> np.ndarray:
-                hs = cache.get(text)
-                if hs is None:
-                    hs = np.array(
-                        [token_hash64(t) for t in tokenize(text)], dtype=np.uint64
-                    )
-                    cache[text] = hs
-                return hs
+                return cache[text]
 
             out = {"a": [], "b": [], "a_url": [], "b_url": [], "run_tokens": []}
             for row in pdf.itertuples(index=False):
                 run = longest_common_run_hashed(
-                    tok_hashes(row.a_text), tok_hashes(row.b_text), min_run=min_run
+                    tok_hashes(row.a_text), tok_hashes(row.b_text),
+                    min_run=min_run, exact=exact_run,
                 )
                 if run >= min_run:
                     out["a"].append(row.a)

@@ -90,6 +90,12 @@ def run_dedup(
     # threaded as the downstream stage's rows_in (no separate count jobs).
     observed: dict[str, int] = {}
 
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = bool(_os.environ.get("SPARK_GRAFT_STAGE_TIMING"))
+
     def stage(name: str, build, rows_in: str | None = None, dropped=0):
         """Run (or resume) one stage: build() -> DataFrame, checkpointed.
 
@@ -97,7 +103,12 @@ def run_dedup(
         stage (-1 when unknown, e.g. raw input or resumed upstream).
         """
         if checkpoint == "min" and name not in durable:
-            return build().localCheckpoint()
+            _t0 = _time.monotonic()
+            out = build().localCheckpoint()
+            if _timing:
+                print(f"[stage] {name} {_time.monotonic() - _t0:.1f}s",
+                      file=_sys.stderr, flush=True)
+            return out
         if io.exists(name):
             return io.read(name)
         with StageTimer() as t:
@@ -107,6 +118,9 @@ def run_dedup(
                 name, out.observe(obs, F.count(F.lit(1)).alias("rows_out"))
             )
             observed[name] = int(obs.get["rows_out"])
+        if _timing:
+            print(f"[stage] {name} {t.wall_ms / 1000:.1f}s",
+                  file=_sys.stderr, flush=True)
         out = io.read(name)
         if collect_metrics:
             sink.record_stage(
@@ -149,7 +163,10 @@ def run_dedup(
                                       dropped=int(n_capped))
             # skip pairs already confirmed near (cheaper verify)
             fresh = sub_cand.join(near_e.select("a", "b"), ["a", "b"], "left_anti")
-            return substr_edges(fresh, docs, cfg).drop("run_tokens")
+            # exact_run=False: the pipeline needs the edge, not the length
+            return substr_edges(fresh, docs, cfg, exact_run=False).drop(
+                "run_tokens"
+            )
 
         substr_e = stage("substr_edges", build_substr, "signatures")
     else:

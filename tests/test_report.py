@@ -47,6 +47,16 @@ def test_json_report_roundtrip(small_result):
     assert len(doc["summary"]["top_clusters"]) <= 3
 
 
+def test_text_report_osc8_hyperlinks(small_result):
+    summary = cluster_summary(small_result.clusters, top_k=3)
+    edges = edge_summary(small_result.edges)
+    text = render_text(summary, edges, hyperlinks=True)
+    url = summary["top_clusters"][0]["canonical_url"]
+    assert f"\033]8;;{url}\033\\{url}\033]8;;\033\\" in text
+    # default stays plain (machine-readable logs)
+    assert "\033]8" not in render_text(summary, edges)
+
+
 def test_markdown_report_golden_lines(small_result):
     summary = cluster_summary(small_result.clusters, top_k=3)
     edges = edge_summary(small_result.edges)

@@ -115,7 +115,8 @@ class TestSignatures:
             s = int(mh.simhash_flat(sh, off)[0].astype(np.int64))
             b = mh.band_hashes(m.astype(np.uint64).reshape(1, -1),
                                CFG.lsh_bands, CFG.lsh_rows)[0].astype(np.int64)
-            assert r["minhash"] == m.tolist()
+            # the raw minhash matrix is not shipped (bands derive from it in
+            # the UDF); band equality checks the full minhash->band path
             assert r["simhash"] == s
             assert r["bands"] == b.tolist()
 
@@ -127,7 +128,7 @@ class TestSignatures:
         )
         sigs = compute_signatures(eligible_docs(extract_docs(pdf), 50), CFG).collect()
         assert sigs[0]["bands"] == sigs[1]["bands"]
-        assert sigs[0]["minhash"] == sigs[1]["minhash"]
+        assert sigs[0]["shingles"] == sigs[1]["shingles"]
 
 
 class TestLshConfirm:
