@@ -111,7 +111,9 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, Data
         .withColumn("ids", F.slice("all_ids", 1, cap))
         .drop("all_ids", "chunk_over")
     )
-    buckets = buckets.localCheckpoint()  # reused for capped + pairs
+    # lazy: materialized once at first consumption, reused by capped + pairs;
+    # no dedicated barrier job (capped often goes unconsumed in bench mode)
+    buckets = buckets.localCheckpoint(eager=False)
 
     capped = buckets.filter(F.col("overflow") > 0).select(
         "band_id", "band_hash", "overflow"

@@ -207,7 +207,7 @@ def lsh_bucket_candidates(
         .withColumn("ids", F.slice("all_ids", 1, bucket_cap))
         .drop("all_ids")
     )
-    grouped = grouped.localCheckpoint()  # reused by capped + pairs
+    grouped = grouped.localCheckpoint(eager=False)  # reused by capped + pairs
     capped = grouped.filter(F.col("overflow") > 0).select(
         "table_id", "bucket", "overflow"
     )

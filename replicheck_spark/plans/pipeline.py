@@ -103,8 +103,13 @@ def run_dedup(
         stage (-1 when unknown, e.g. raw input or resumed upstream).
         """
         if checkpoint == "min" and name not in durable:
+            # lazy checkpoint: lineage still truncates and the result is
+            # still computed exactly once (first consumer materializes it),
+            # but WITHOUT a dedicated job barrier per stage — each eager
+            # barrier cost ~1-2s of driver round-trip, a pure serial-floor
+            # tax at any core count
             _t0 = _time.monotonic()
-            out = build().localCheckpoint()
+            out = build().localCheckpoint(eager=_timing)
             if _timing:
                 print(f"[stage] {name} {_time.monotonic() - _t0:.1f}s",
                       file=_sys.stderr, flush=True)
