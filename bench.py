@@ -45,11 +45,34 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _warmup(spark) -> None:
+    """Warm the JVM (codegen, parquet reader) and the Python worker pool
+    (pyspark.worker + pandas + numpy import in each of the N forked workers)
+    before timing. Without this the FIRST query absorbs ~6s of JVM warmup and
+    the FIRST pandas-UDF query absorbs ~8s of one-time worker spinup at 32
+    cores (measured: minhash_lsh_pairs 12.1s cold vs 4.0s steady-state on
+    identical data) — per-query walls then measure session start order, not
+    operator cost. A real cluster job amortizes both over hours of input."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` stringifies
+    # the pd.Series hints, which breaks eval-type inference
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def _noop(s):
+        return s
+
+    spark.range(10_000, numPartitions=64).select(
+        F.sum(_noop(F.col("id")))
+    ).collect()
+
+
 def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     """Headline queries: the dedup/text/similarity core, timed via count()."""
     import __spark_entry__ as entry_mod
 
     q = entry_mod.queries()
+    _warmup(spark)
     names = [
         "exact_dedup_keep_first",
         "doc_stats",

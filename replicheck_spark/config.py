@@ -33,6 +33,9 @@ class DedupConfig:
 
     # substring (identical-block analog) config
     substr_min_tokens: int = 50      # min verbatim shared token run
+    substr_anchors_expected: int = 8  # expected anchors per qualifying run:
+    # anchor modulus q = (L-k+1)//this, so 1/q of corpus shingles enter the
+    # anchor index (miss prob ~ e^-this); lower = sparser index, less recall
 
     # skew / scale guards
     bucket_cap: int = 512            # max docs per LSH bucket for all-pairs
@@ -59,6 +62,11 @@ class DedupConfig:
             )
         if self.shingle_k < 1:
             raise ValueError(f"shingle_k must be >= 1, got {self.shingle_k}")
+        if self.substr_anchors_expected < 1:
+            raise ValueError(
+                "substr_anchors_expected must be >= 1, got "
+                f"{self.substr_anchors_expected}"
+            )
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -113,12 +113,29 @@ def _expand_exact_members(
     simhash). Two sha-keyed joins; output size is the declared semantics'
     own |A|x|B|. No dedup needed: each doc has one sha, and confirm emits
     each (a_sha, b_sha) once.
+
+    The member table is semi-join-pruned to shas that actually appear in a
+    confirmed edge BEFORE the expansion joins: edges are tiny relative to the
+    corpus, so the prune (AQE turns it into a broadcast) keeps the two
+    expansion joins from shuffling the full signature table twice — at 10^12
+    docs the unpruned version re-shuffles every member row per join. The
+    edge frame is lazily checkpointed because the prune makes it a
+    multi-consumer (the sha list + the join probe) — without the cut,
+    Catalyst would re-run the whole LSH confirm once per consumer.
     """
-    ma = members.select(F.col("sha256").alias("a_sha"), F.col("doc_id").alias("_x"))
-    mb = members.select(F.col("sha256").alias("b_sha"), F.col("doc_id").alias("_y"))
+    edges = edges.select("a_sha", "b_sha", *value_cols).localCheckpoint(
+        eager=False
+    )
+    rel_shas = (
+        edges.select(F.col("a_sha").alias("sha256"))
+        .unionByName(edges.select(F.col("b_sha").alias("sha256")))
+        .distinct()
+    )
+    pruned = members.join(rel_shas, "sha256", "left_semi")
+    ma = pruned.select(F.col("sha256").alias("a_sha"), F.col("doc_id").alias("_x"))
+    mb = pruned.select(F.col("sha256").alias("b_sha"), F.col("doc_id").alias("_y"))
     return (
-        edges.select("a_sha", "b_sha", *value_cols)
-        .join(ma, "a_sha")
+        edges.join(ma, "a_sha")
         .join(mb, "b_sha")
         .select(
             F.least("_x", "_y").alias("a"),
@@ -141,10 +158,12 @@ def minhash_lsh_pairs(
     all members of each identical-text group so the listing matches the
     oracle even when exact dups participate in near-dup pairs.
 
-    ``localCheckpoint`` on the signatures: both the band branch and the
-    confirm branch consume them, and without materialization Catalyst
-    re-evaluates the signature UDF once per branch (measured 2x
-    ArrowEvalPython = ~2x the dominant cost).
+    ``localCheckpoint(eager=False)`` on the signatures: the band branch, the
+    confirm branch and the member expansion all consume them, and without
+    materialization Catalyst re-evaluates the signature UDF once per branch
+    (measured 2x ArrowEvalPython = ~2x the dominant cost). Lazy: the final
+    action materializes it in-line — an eager checkpoint is a dedicated
+    barrier job whose driver round-trip is pure serial floor.
     """
     cfg = cfg if threshold is None else DedupConfig(
         **{**cfg.to_dict(), "min_similarity": threshold}
@@ -165,7 +184,7 @@ def minhash_lsh_pairs(
             F.col("sig.simhash").alias("simhash"),
             F.col("sig.bands").alias("bands"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cands, _ = candidate_pairs(explode_bands(sigs, cfg), cfg)
     edges = confirm_pairs(cands, sigs, cfg)
@@ -206,7 +225,7 @@ def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
         "doc_id", "sha256",
         F.col("sig.simhash").alias("simhash"),
         F.col("sig.bands").alias("bands"),
-    ).localCheckpoint()  # minhash column not needed for the SimHash path
+    ).localCheckpoint(eager=False)  # minhash column not needed for SimHash
     cands, _ = candidate_pairs(explode_bands(sigs, cfg), cfg)
     a = sigs.select(
         F.col("doc_id").alias("a"),

@@ -41,25 +41,64 @@ def capped_members_agg(member_col: str, key_col: str, cap: int):
     return rn, agg
 
 
-def exact_groups(elig: DataFrame, members_cap: int = 128) -> DataFrame:
+def exact_groups(
+    elig: DataFrame, members_cap: int = 128, with_rep: bool = False
+) -> DataFrame:
     """Groups of byte-identical docs: one row per group with >= 2 members.
 
     Columns: sha256, size (token count), num_duplicates, cross_host,
     member_urls (sorted, capped — bounded agg buffer, see capped_members_agg),
-    similarity (1.0).
+    similarity (1.0). ``with_rep`` adds rep_id/rep_url (min (doc_id, url)
+    member) so star edges derive from this ONE aggregation via
+    ``exact_edges_from_groups`` instead of re-aggregating elig — the pipeline
+    previously ran two full groupBy passes over the same input for groups and
+    edges (one serial-floor stage job each).
     """
     rn, members = capped_members_agg("url", "sha256", members_cap)
-    return (
+    aggs = [
+        F.count("*").alias("num_duplicates"),
+        F.first("n_tokens").alias("size"),
+        (F.countDistinct("host") > 1).alias("cross_host"),
+        members.alias("member_urls"),
+    ]
+    if with_rep:
+        aggs.append(
+            F.min_by(
+                F.struct("doc_id", "url"), F.struct("doc_id", "url")
+            ).alias("rep")
+        )
+    out = (
         elig.withColumn("_member_rn", rn)
         .groupBy("sha256")
-        .agg(
-            F.count("*").alias("num_duplicates"),
-            F.first("n_tokens").alias("size"),
-            (F.countDistinct("host") > 1).alias("cross_host"),
-            members.alias("member_urls"),
-        )
+        .agg(*aggs)
         .filter(F.col("num_duplicates") >= 2)
         .withColumn("similarity", F.lit(1.0))
+    )
+    if with_rep:
+        out = out.withColumn("rep_id", F.col("rep.doc_id")).withColumn(
+            "rep_url", F.col("rep.url")
+        ).drop("rep")
+    return out
+
+
+def exact_edges_from_groups(elig: DataFrame, groups: DataFrame) -> DataFrame:
+    """Star edges derived from ``exact_groups(..., with_rep=True)`` output:
+    join the (small, dup-groups-only) rep table back to elig members — the
+    groupBy over elig is NOT repeated. Same output contract as exact_edges."""
+    reps = groups.select(
+        "sha256", F.col("rep_id").alias("a"), F.col("rep_url").alias("a_url")
+    )
+    return (
+        elig.join(reps, "sha256")
+        .filter(F.col("doc_id") != F.col("a"))
+        .select(
+            "a",
+            F.col("doc_id").alias("b"),
+            "a_url",
+            F.col("url").alias("b_url"),
+            F.lit("exact").alias("kind"),
+            F.lit(1.0).alias("jaccard"),
+        )
     )
 
 

@@ -25,7 +25,9 @@ from pyspark.sql import DataFrame, functions as F
 from replicheck_spark.config import DedupConfig
 
 
-def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def explode_bands(
+    signatures: DataFrame, cfg: DedupConfig, rep_by: str = "doc_id"
+) -> DataFrame:
     """signatures -> (doc_id, band_id, band_hash, salt), exact-dup suppressed
     to one representative per identical-text (sha256) group.
 
@@ -36,11 +38,28 @@ def explode_bands(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     post-explode groupBy keyed on 64-char sha strings (measured: the
     post-explode version ANTI-scaled 8->32 cores at 400k docs; the string key
     dominated the shuffle).
+
+    ``rep_by="url"`` picks the min-URL member as the representative instead of
+    min doc_id (requires a ``url`` column). The streaming incremental path
+    needs this so the band representative IS the exact-stage canonical: with
+    doc_id = xxhash64(url) the two orderings diverge, and a min-url member
+    that is not the min-doc_id member would carry no near edges and escape
+    flagging (its rep is already exact-flagged) — survivors could still
+    contain near-duplicate pairs. Batch clustering is agnostic (star edges
+    attach the rep to its component either way).
     """
-    reps = signatures.select("sha256", "doc_id", "bands").groupBy("sha256").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.first("bands").alias("bands"),  # identical within a sha group
-    )
+    if rep_by == "url":
+        reps = signatures.select("sha256", "doc_id", "url", "bands").groupBy(
+            "sha256"
+        ).agg(
+            F.min_by("doc_id", "url").alias("doc_id"),
+            F.first("bands").alias("bands"),  # identical within a sha group
+        )
+    else:
+        reps = signatures.select("sha256", "doc_id", "bands").groupBy("sha256").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("bands").alias("bands"),  # identical within a sha group
+        )
     b = reps.select(
         "doc_id",
         F.posexplode("bands").alias("band_id", "band_hash"),
@@ -68,7 +87,9 @@ def _pairs_from_two_arrays(a_col: str, b_col: str):
     )
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+def candidate_pairs(
+    bands: DataFrame, cfg: DedupConfig, observation=None
+) -> tuple[DataFrame, DataFrame]:
     """-> (cand_pairs(a, b), capped_buckets(band_id, band_hash, overflow)).
 
     a < b (doc_id order), globally deduplicated.
@@ -111,6 +132,15 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, Data
         .withColumn("ids", F.slice("all_ids", 1, cap))
         .drop("all_ids", "chunk_over")
     )
+    if observation is not None:
+        # total member overflow rides the plan itself: filled when the FIRST
+        # consumer materializes the (checkpointed) buckets — no dedicated
+        # driver-side sum job (the eager capped-collect was a pure
+        # serial-floor tax, one extra Spark job per pipeline run)
+        buckets = buckets.observe(
+            observation,
+            F.coalesce(F.sum("overflow"), F.lit(0)).alias("overflow_total"),
+        )
     # lazy: materialized once at first consumption, reused by capped + pairs;
     # no dedicated barrier job (capped often goes unconsumed in bench mode)
     buckets = buckets.localCheckpoint(eager=False)

@@ -68,15 +68,17 @@ def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
 def embedding_dup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     broadcast_bytes_limit: int = 256 * 1024 * 1024,
+    n_planes: int = 12, n_tables: int = 4,
 ) -> DataFrame:
     """Near-duplicate vector pairs: cosine >= threshold, a < b.
 
     Small/medium corpora (normalized float64 matrix under
-    ``broadcast_bytes_limit``): broadcast the matrix once and let every
-    partition compute chunk x matrix cosine in one BLAS matmul — measured
-    ~50x faster than a cross join with interpreted zip_with/aggregate
-    lambdas. Beyond the limit, run ``lsh_bucket_candidates`` first and
-    confirm only within buckets (the 10^12-scale path).
+    ``broadcast_bytes_limit``): pull the matrix to the driver via one Arrow
+    ``toPandas`` transfer, broadcast it, and let every partition compute
+    chunk x matrix cosine in one BLAS matmul — measured ~50x faster than a
+    cross join with interpreted zip_with/aggregate lambdas. Beyond the limit,
+    run ``lsh_bucket_candidates`` first and confirm only within buckets (the
+    10^12-scale path; pytest-gated against brute force on a planted corpus).
 
     One metadata job decides the path: count and dim come from a single agg
     (no separate count()/first() actions), and the limit is BYTES
@@ -98,8 +100,19 @@ def embedding_dup_pairs(
     if n == 0:
         return emb.sparkSession.createDataFrame([], "a long, b long")
     if n * dim * 8 > broadcast_bytes_limit:
-        cands, capped = lsh_bucket_candidates(emb, dim=dim)
-        _log_bucket_overflow(capped, "embedding_dup_pairs")
+        # the 10^12-scale path: bucketed candidates (never all-pairs),
+        # exact-cosine confirm within buckets. n_tables independent plane
+        # sets keep recall high for genuine near-dups: at cos >= 0.95
+        # (theta <= 0.32 rad) a pair lands in the same 12-plane bucket with
+        # p >= (1 - theta/pi)^12 ~ 0.28 per table -> miss <= 0.27 at 4
+        # tables, and real near-dup corpora sit far above the threshold
+        # (cos ~ 0.99 -> p ~ 0.57/table, miss ~ 3%). Tune n_tables up for a
+        # tighter bound; tests/test_similarity_recall.py gates parity with
+        # brute force on a planted corpus via this exact branch.
+        cands, capped = lsh_bucket_candidates(
+            emb, dim=dim, n_planes=n_planes, n_tables=n_tables,
+            meter="embedding_dup_pairs",
+        )
         a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"))
         b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"))
         return (
@@ -109,9 +122,9 @@ def embedding_dup_pairs(
             .select("a", "b")
         )
 
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    pdf_all = emb.select("vec_id", "embedding").toPandas()  # Arrow batches
+    ids = pdf_all["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(pdf_all["embedding"].tolist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     mat_n = mat / norms[:, None]
@@ -149,23 +162,43 @@ def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float
     return rs.randn(n_planes, dim).tolist()
 
 
-def _log_bucket_overflow(capped: DataFrame, where: str) -> None:
-    """Capped work is logged, never silent (SURVEY.md §4.2 rule 1): surface
-    the total member overflow of truncated LSH buckets."""
+def _log_overflow_on_execute(bucketed: DataFrame, where: str) -> DataFrame:
+    """Capped work is logged, never silent (SURVEY.md §4.2 rule 1) — but
+    LAZILY: the overflow total rides the bucket plan as a ``df.observe``
+    metric and a daemon thread logs it when the caller's FIRST action
+    materializes the query. Building the DataFrame stays free of Spark jobs
+    (round 2 ran an eager .first() here, which executed the whole LSH
+    bucketing at plan-construction time — one full extra job per build, and
+    an API-laziness break flagged by review). If the plan never executes the
+    thread just parks (daemon, reclaimed at exit)."""
     import logging
+    import threading
 
-    total = capped.agg(F.sum("overflow")).first()[0] or 0
-    if total:
-        logging.getLogger(__name__).warning(
-            "%s: %d bucket members beyond bucket_cap were truncated "
-            "(recall loss is attributable here; raise bucket_cap or n_planes)",
-            where, int(total),
-        )
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = bucketed.observe(
+        obs, F.coalesce(F.sum("overflow"), F.lit(0)).alias("overflow_total")
+    )
+
+    def _wait_and_log():
+        total = int(obs.get["overflow_total"] or 0)
+        if total:
+            logging.getLogger(__name__).warning(
+                "%s: %d bucket members beyond bucket_cap were truncated "
+                "(recall loss is attributable here; raise bucket_cap or "
+                "n_planes)", where, total,
+            )
+
+    threading.Thread(
+        target=_wait_and_log, daemon=True, name=f"overflow-log-{where}"
+    ).start()
+    return out
 
 
 def lsh_bucket_candidates(
     emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
-    bucket_cap: int = 256, n_tables: int = 1,
+    bucket_cap: int = 256, n_tables: int = 1, meter: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Random-hyperplane LSH: bucket = sign-bit string of `n_planes` dot
     products per hash table; candidate pairs generated within buckets only.
@@ -207,6 +240,8 @@ def lsh_bucket_candidates(
         .withColumn("ids", F.slice("all_ids", 1, bucket_cap))
         .drop("all_ids")
     )
+    if meter is not None:
+        grouped = _log_overflow_on_execute(grouped, meter)
     grouped = grouped.localCheckpoint(eager=False)  # reused by capped + pairs
     capped = grouped.filter(F.col("overflow") > 0).select(
         "table_id", "bucket", "overflow"
@@ -245,9 +280,9 @@ def knn_lsh(
     construction); tests/test_similarity_recall.py gates recall@k vs brute
     force."""
     cands, capped = lsh_bucket_candidates(
-        emb, dim, n_planes=n_planes, seed=seed, n_tables=n_tables
+        emb, dim, n_planes=n_planes, seed=seed, n_tables=n_tables,
+        meter="knn_lsh",
     )
-    _log_bucket_overflow(capped, "knn_lsh")
     pairs = cands.unionByName(
         cands.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).filter(F.col("a") < n_queries)

@@ -112,13 +112,26 @@ def longest_common_run_hashed(
 
 
 def anchor_pairs(
-    signatures: DataFrame, cfg: DedupConfig, bucket_cap: int = 64
+    signatures: DataFrame, cfg: DedupConfig, bucket_cap: int = 64,
+    observation=None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (cand(a, b), capped(anchor, overflow)) via deterministic anchor
     sampling over the stored distinct shingle-hash arrays (pmod on int64,
-    JVM-side)."""
+    JVM-side).
+
+    Anchor density: a fraction 1/q of ALL corpus shingles enters the inverted
+    index, with q = max(1, (L-k+1) // cfg.substr_anchors_expected). At the
+    defaults (L=50, k=5, expected=8) that is ~17% of shingle volume; the miss
+    probability for a qualifying run is ~e^-expected. Longer run thresholds
+    sample proportionally sparser (L=100 -> q=12 -> ~8%), and lowering
+    ``substr_anchors_expected`` trades recall for index volume explicitly —
+    the knob, the 1/q share, and the e^-E bound are stated in docs/SCALE.md's
+    stage table. ``observation``, when given, rides the bucket agg and
+    reports anchor_rows (index volume actually shuffled) plus overflow_total
+    (capped-bucket members) with no extra driver job.
+    """
     need = cfg.substr_min_tokens - cfg.shingle_k + 1
-    q = max(1, need // 8)
+    q = max(1, need // cfg.substr_anchors_expected)
     anchors = signatures.select(
         "doc_id",
         "sha256",
@@ -132,8 +145,14 @@ def anchor_pairs(
         anchors.groupBy("anchor")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("all_ids"))
         .withColumn("overflow", F.greatest(F.size("all_ids") - bucket_cap, F.lit(0)))
-        .withColumn("ids", F.slice("all_ids", 1, bucket_cap))
     )
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.coalesce(F.sum("overflow"), F.lit(0)).alias("overflow_total"),
+            F.coalesce(F.sum(F.size("all_ids")), F.lit(0)).alias("anchor_rows"),
+        )
+    buckets = buckets.withColumn("ids", F.slice("all_ids", 1, bucket_cap))
     capped = buckets.filter(F.col("overflow") > 0).select("anchor", "overflow")
     pairs = (
         buckets.filter(F.size("ids") >= 2)
@@ -264,7 +283,7 @@ def substr_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.col("doc_id").cast("string").alias("url"),
         F.sha2("text", 256).alias("sha256"),
         sh_udf(F.col("text")).alias("shingles"),
-    ).localCheckpoint()  # consumed by both the anchor and expansion branches
+    ).localCheckpoint(eager=False)  # consumed by anchor + expansion branches
     cand, _capped = anchor_pairs(sigs, cfg)
     d = docs.select(
         "doc_id", F.col("doc_id").cast("string").alias("url"),

@@ -74,6 +74,21 @@ class MetricsSink:
             1
         ).write.mode("append").parquet(self.path)
 
+    def record_totals(
+        self, stage: str, rows_out: int = -1, dropped: int = 0,
+        rows_in: int = -1, wall_ms: int = 0,
+    ) -> None:
+        """Stage-total-only row (partition_id=-1) for counters that ride a
+        ``df.observe`` on another stage's action (capped-bucket overflow,
+        anchor index volume) — no per-partition breakdown, no extra job."""
+        rows = [
+            (self.run_id, stage, -1, int(rows_in), int(rows_out),
+             int(dropped), int(wall_ms))
+        ]
+        self.spark.createDataFrame(rows, schema=METRICS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(self.path)
+
     def read(self) -> DataFrame:
         return self.spark.read.schema(METRICS_SCHEMA).parquet(self.path)
 

@@ -20,7 +20,7 @@ from replicheck_spark.operators.components import (
     connected_components,
 )
 from replicheck_spark.operators.confirm import confirm_pairs
-from replicheck_spark.operators.exact import exact_edges, exact_groups
+from replicheck_spark.operators.exact import exact_edges_from_groups, exact_groups
 from replicheck_spark.operators.extract import eligible_docs, extract_docs
 from replicheck_spark.operators.lsh import candidate_pairs, explode_bands
 from replicheck_spark.operators.signatures import compute_signatures
@@ -89,6 +89,12 @@ def run_dedup(
     # stage-total output counts observed during each stage's own write job;
     # threaded as the downstream stage's rows_in (no separate count jobs).
     observed: dict[str, int] = {}
+    built: set[str] = set()  # stages written fresh this run (not resumed)
+    # (stage_name, Observation, {metric_key: record_as}) resolved AFTER the
+    # consuming actions ran — capped/overflow totals ride the plans via
+    # df.observe instead of eager .collect() jobs (each eager collect was one
+    # full extra Spark job at candidate-build time, pure serial floor)
+    deferred_obs: list[tuple[str, Observation, dict[str, str]]] = []
 
     import os as _os
     import sys as _sys
@@ -118,11 +124,12 @@ def run_dedup(
             return io.read(name)
         with StageTimer() as t:
             out = build()
-            obs = Observation(f"stage_{name}")
+            obs = Observation()
             io.write(
                 name, out.observe(obs, F.count(F.lit(1)).alias("rows_out"))
             )
             observed[name] = int(obs.get["rows_out"])
+            built.add(name)
         if _timing:
             print(f"[stage] {name} {t.wall_ms / 1000:.1f}s",
                   file=_sys.stderr, flush=True)
@@ -137,19 +144,32 @@ def run_dedup(
     docs = stage("docs", lambda: extract_docs(pages))
     elig = eligible_docs(docs, cfg.min_size)
 
-    exact_g = stage("exact_groups", lambda: exact_groups(elig), "docs")
-    exact_e = stage("exact_edges", lambda: exact_edges(elig), "docs")
+    # signatures FIRST: compute_signatures is 1:1 with elig, so its observed
+    # rows_out IS the eligible-doc count — the min_size drop becomes visible
+    # (docs.rows_out - signatures.rows_out) and every elig-consuming stage
+    # threads the true rows_in, all without an extra count job or an observe
+    # node on elig (which would sit between the scan and every consumer).
+    sigs = stage("signatures", lambda: compute_signatures(elig, cfg), "signatures")
 
-    sigs = stage("signatures", lambda: compute_signatures(elig, cfg), "docs")
+    # ONE groupBy pass over elig yields groups AND the per-group representative;
+    # star edges then join the (dup-groups-only) rep table back to elig instead
+    # of re-aggregating it — the r2 pipeline ran this aggregation twice.
+    exact_g = stage(
+        "exact_groups", lambda: exact_groups(elig, with_rep=True), "signatures"
+    )
+    exact_e = stage(
+        "exact_edges",
+        lambda: exact_edges_from_groups(elig, exact_g),
+        "signatures",
+    )
 
     def build_cands():
         bands = explode_bands(sigs, cfg)
-        pairs, capped = candidate_pairs(bands, cfg)
-        if collect_metrics:
-            # capped buckets are potential data loss: surface the overflow total
-            n_capped = capped.agg(F.sum("overflow")).collect()[0][0] or 0
-            if n_capped:
-                sink.record_stage("cands_capped", capped, 0, 0, dropped=int(n_capped))
+        obs = Observation() if collect_metrics else None
+        pairs, _capped = candidate_pairs(bands, cfg, observation=obs)
+        if obs is not None:
+            # resolved after the consuming action — see deferred_obs
+            deferred_obs.append(("cands_capped", obs, {"overflow_total": "dropped"}))
         return pairs
 
     cands = stage("cand_pairs", build_cands, "signatures")
@@ -160,12 +180,13 @@ def run_dedup(
 
     if with_substr:
         def build_substr():
-            sub_cand, capped = anchor_pairs(sigs, cfg)
-            if collect_metrics:
-                n_capped = capped.agg(F.sum("overflow")).collect()[0][0] or 0
-                if n_capped:
-                    sink.record_stage("substr_capped", capped, 0, 0,
-                                      dropped=int(n_capped))
+            obs = Observation() if collect_metrics else None
+            sub_cand, _capped = anchor_pairs(sigs, cfg, observation=obs)
+            if obs is not None:
+                deferred_obs.append((
+                    "substr_anchors", obs,
+                    {"overflow_total": "dropped", "anchor_rows": "rows_out"},
+                ))
             # skip pairs already confirmed near (cheaper verify)
             fresh = sub_cand.join(near_e.select("a", "b"), ["a", "b"], "left_anti")
             # exact_run=False: the pipeline needs the edge, not the length
@@ -190,6 +211,19 @@ def run_dedup(
     clusters = stage(
         "clusters", lambda: clusters_from_labels(labels, docs), "labels"
     )
+
+    # Drain the deferred observations. Safe iff their plans actually ran:
+    # a deferred entry only exists when the build ran, and in checkpoint=min
+    # the (lazy) candidate/anchor frames materialize via the durable edges
+    # write — if "edges" was resumed from disk they never executed and .get
+    # would block forever, so skip (the original run already recorded them).
+    if collect_metrics and (checkpoint != "min" or "edges" in built):
+        for mstage, obs, keys in deferred_obs:
+            vals = obs.get
+            dropped = int(vals.get("overflow_total") or 0)
+            rows_out = int(vals["anchor_rows"]) if "anchor_rows" in vals else -1
+            if dropped or rows_out >= 0:
+                sink.record_totals(mstage, rows_out=rows_out, dropped=dropped)
 
     return DedupResult(
         docs=docs,

@@ -71,10 +71,16 @@ class IncrementalDedup:
         deterministic-tiebreak discipline as clusters_from_labels.
 
         Exact: min-url member of each sha256 group is the original. Near: the
-        batch LSH+confirm operators verbatim; the greater-url side of each
-        confirmed edge is the duplicate. Non-representative members of a
-        within-batch exact group are already flagged exact, so
-        representative-level near edges suffice for hit detection.
+        batch LSH+confirm operators with ``rep_by="url"`` so the band
+        representative IS the exact-stage canonical (min url); the greater-url
+        side of each confirmed edge is the duplicate. The rep keying matters:
+        doc_id is xxhash64(url), so a min-doc_id representative need not be
+        the min-url member — near edges would then touch only an
+        already-exact-flagged doc while the unflagged min-url canonical
+        escaped, leaving near-duplicate pairs in the survivor set. With
+        url-keyed reps, every non-representative member is exact-flagged and
+        every representative carries its group's near edges, so the survivor
+        set (unflagged docs) is near-duplicate-free.
         """
         cfg = self.cfg
         reps = (
@@ -95,7 +101,9 @@ class IncrementalDedup:
             .filter(F.col("doc_id") != F.col("rep_id"))
             .select("doc_id", "url", "dup_of", F.lit("exact").alias("kind"))
         )
-        cands, _ = candidate_pairs(explode_bands(sigs_new, cfg), cfg)
+        cands, _ = candidate_pairs(
+            explode_bands(sigs_new, cfg, rep_by="url"), cfg
+        )
         edges = confirm_pairs(cands, sigs_new, cfg)
         dup_is_b = F.col("b_url") > F.col("a_url")
         near_in = edges.select(
@@ -126,7 +134,10 @@ class IncrementalDedup:
                 .select("doc_id", "url", "dup_of", F.lit("exact").alias("kind"))
             )
             # near hits: band collision new x store, Jaccard-confirmed
-            new_bands = explode_bands(sigs_new, cfg).select(
+            # rep_by="url" on the NEW side: the min-url canonical of each
+            # within-batch exact group must be the doc that receives the
+            # store-near flag (its other members are already exact-flagged)
+            new_bands = explode_bands(sigs_new, cfg, rep_by="url").select(
                 "band_id", "band_hash", F.col("doc_id").alias("a")
             )
             store_bands = explode_bands(store, cfg).select(
