@@ -113,6 +113,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return block_exact_dups(docs(spark, sf), block_tokens=50)
 
+    def q_block_near_doc_pairs(spark, sf):
+        from replicheck_spark.operators.blocks import block_near_doc_pairs
+
+        # doc pairs linked by a >=0.8-Jaccard 50-token block: the sub-document
+        # LSH path, checked against an exact unit-level shingle-join oracle
+        return block_near_doc_pairs(docs(spark, sf), cfg, block_tokens=50)
+
     def q_knn_bruteforce(spark, sf):
         return similarity.knn_bruteforce(_t(spark, sf, "embeddings"), 10, 5)
 
@@ -213,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_labels": q_cluster_labels,
         "substr_pairs": q_substr_pairs,
         "block_exact_dups": q_block_exact_dups,
+        "block_near_doc_pairs": q_block_near_doc_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -427,6 +435,43 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id) AS n_docs
             FROM u GROUP BY bt
             HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "block_near_doc_pairs": """
+            WITH u AS (
+              SELECT doc_id, s.bidx, s.bt FROM (
+                SELECT doc_id,
+                       [{'bidx': i,
+                         'bt': array_to_string(t[(i-1)*50+1 : i*50], ' ')}
+                        for i in range(1, CAST(ceil(len(t)/50.0) AS BIGINT)+1)
+                       ] AS lst
+                FROM (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents)
+              ), unnest(lst) AS z(s)
+            ),
+            sh AS (
+              SELECT doc_id, bidx, bt,
+                     list_distinct([array_to_string(t[i:i+4], ' ')
+                                    for i in range(1, greatest(len(t)-3, 2))])
+                       AS s
+              FROM (SELECT doc_id, bidx, bt, string_split(bt, ' ') AS t FROM u)
+            ),
+            ex AS (SELECT doc_id, bidx, bt, unnest(s) AS shingle, len(s) AS n
+                   FROM sh),
+            inter AS (
+              SELECT x.doc_id AS da, x.bidx AS ba, y.doc_id AS db, y.bidx AS bb,
+                     count(*) AS n_inter,
+                     any_value(x.n) AS na, any_value(y.n) AS nb,
+                     any_value(x.bt) AS a_bt, any_value(y.bt) AS b_bt
+              FROM ex x JOIN ex y ON x.shingle = y.shingle
+                    AND (x.doc_id < y.doc_id
+                         OR (x.doc_id = y.doc_id AND x.bidx < y.bidx))
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT DISTINCT least(da, db) AS a, greatest(da, db) AS b
+            FROM inter
+            WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)
+                    >= 0.8
+              AND a_bt <> b_bt AND da <> db
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb

@@ -78,3 +78,78 @@ def test_simhash_agrees_with_hamming_on_oracle_signatures(spark):
         expect = bin(sim(r["a"]) ^ sim(r["b"])).count("1")
         assert r["hamming"] == expect, (r["a"], r["b"], r["hamming"], expect)
         assert r["hamming"] <= cfg.hamming_max
+
+
+def test_embedding_dup_pairs_lsh_branch_matches_bruteforce(spark):
+    """The 10^12-scale branch of embedding_dup_pairs (LSH buckets + in-bucket
+    confirm) must find the same pairs as the broadcast-BLAS branch on a
+    planted corpus: broadcast_bytes_limit=1 forces the bucketed path.
+
+    Planted near-dups sit at cos ~0.9995 (theta ~ 0.018 rad -> per-12-plane-
+    table bucket-collision ~0.93; miss over 8 tables ~1e-9), and random
+    32-dim background pairs sit at |cos| ~ 0.18 << 0.95 — so both branches
+    deterministically (seeded planes, fixed vectors) return exactly the
+    planted set.
+    """
+    import numpy as np
+
+    from replicheck_spark.operators import similarity
+
+    rs = np.random.RandomState(7)
+    rows, expected, vid = [], set(), 0
+    for i in range(40):
+        v = rs.randn(32)
+        v /= np.linalg.norm(v)
+        a_id = vid
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+        if i % 4 == 0:
+            w = v + 0.02 * rs.randn(32)
+            w /= np.linalg.norm(w)
+            rows.append((vid, [float(x) for x in w]))
+            expected.add((a_id, vid))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bf = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_dup_pairs(emb, 0.95).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_dup_pairs(
+            emb, 0.95, broadcast_bytes_limit=1, n_planes=12, n_tables=8
+        ).collect()
+    }
+    assert bf == expected
+    assert lsh == bf
+
+
+def test_embedding_dup_pairs_build_is_lazy(spark):
+    """Building the LSH-branch query must NOT run the bucketing: round 2
+    executed an eager overflow .first() at construction time (one full extra
+    job per build). Only the cheap n/dim path-decision agg may run."""
+    import numpy as np
+
+    from replicheck_spark.operators import similarity
+
+    rs = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rs.randn(16)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = similarity.embedding_dup_pairs(emb, 0.95, broadcast_bytes_limit=1)
+    mid = len(tracker.getJobIdsForGroup(None) or [])
+    df.count()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    # construction may only run the single path-decision agg (AQE splits one
+    # query into <=3 stage-jobs); the bucketing itself (measured: 5 more
+    # jobs) must run at execution time, not at build time
+    built_jobs = mid - before
+    exec_jobs = after - mid
+    assert built_jobs <= 3, (
+        f"embedding_dup_pairs construction ran {built_jobs} jobs"
+    )
+    assert exec_jobs >= 1, "bucketing should execute at action time"

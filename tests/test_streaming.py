@@ -151,3 +151,56 @@ def test_replay_same_batch_is_idempotent(spark, tmp_path):
     # prior attempt: /3 is a dup of an earlier batch's doc, not of itself
     dup_of = {r["url"]: r["dup_of"] for r in handler.hits().collect()}
     assert dup_of["https://c.example/3"] != "https://c.example/3"
+
+
+def test_within_batch_near_canonical_is_min_url(spark, tmp_path):
+    """Regression (r3 review): the band representative must be keyed by min
+    URL, matching the exact-stage canonical. doc_id = xxhash64(url), so with
+    a min-doc_id rep a within-batch exact group whose min-url member is NOT
+    its min-doc_id member carried near edges only on an already-exact-flagged
+    doc — the unflagged min-url canonical escaped near flagging and the
+    survivor set could retain near-duplicate pairs.
+
+    Construct exactly that ordering: urls p < q (strings) with
+    xxhash64(p) > xxhash64(q), identical text at both, plus a near-dup at
+    url w < p. Correct flags: q exact (dup_of p), p near (dup_of w),
+    w unflagged."""
+    from pyspark.sql import functions as F
+
+    from replicheck_spark.streaming.incremental import IncrementalDedup
+
+    cands = [f"https://h.example/a{i:02d}" for i in range(64)]
+    hashed = dict(
+        spark.createDataFrame([(u,) for u in cands], "url string")
+        .select("url", F.xxhash64("url").alias("h"))
+        .collect()
+    )
+    w_url, rest = cands[0], cands[1:]
+    p_url = q_url = None
+    for i in range(len(rest)):
+        for j in range(i + 1, len(rest)):
+            if hashed[rest[i]] > hashed[rest[j]]:
+                p_url, q_url = rest[i], rest[j]
+                break
+        if p_url:
+            break
+    assert p_url is not None, "no hash-inverted url pair in 64 candidates"
+
+    base = " ".join(f"t{i}" for i in range(120))
+    near = " ".join(["x"] + [f"t{i}" for i in range(1, 120)])
+    batch = spark.createDataFrame(
+        pages_to_pandas([_row(w_url, near), _row(p_url, base), _row(q_url, base)])
+    )
+    handler = IncrementalDedup(
+        spark, str(tmp_path / "store"), DedupConfig(), str(tmp_path / "hits")
+    )
+    handler.process_batch(batch, 0)
+
+    hits = spark.read.parquet(str(tmp_path / "hits")).collect()
+    flagged = {r["url"]: (r["kind"], r["dup_of"]) for r in hits}
+    assert flagged.get(q_url) == ("exact", p_url)
+    assert flagged.get(p_url) == ("near", w_url), (
+        f"min-url canonical {p_url} must be near-flagged against {w_url}; "
+        f"hits={flagged}"
+    )
+    assert w_url not in flagged
