@@ -40,6 +40,17 @@ def parse_args(argv):
     p.add_argument(
         "--output-format", choices=["text", "json", "markdown"], default="text"
     )
+    p.add_argument(
+        "--output", default=None, metavar="PATH",
+        help="write the report to PATH (any format); falls back to console "
+        "on write error (reference reporter.py:372-412 save semantics)",
+    )
+    p.add_argument(
+        "--iceberg-catalog", default=None,
+        help="write stage tables to this Iceberg catalog instead of parquet "
+        "dirs under --ckpt (requires the Iceberg runtime jar + catalog conf "
+        "at spark-submit time)",
+    )
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -55,6 +66,7 @@ def main(argv=None) -> int:
         render_markdown,
         render_text,
         severity_counts,
+        write_report,
     )
     from replicheck_spark.plans.pipeline import run_dedup
     from replicheck_spark.session import get_spark
@@ -81,24 +93,29 @@ def main(argv=None) -> int:
     result = run_dedup(
         spark, pages, cfg, args.ckpt, run_id=args.run_id,
         with_substr=not args.no_substr,
+        iceberg_catalog=args.iceberg_catalog,
     )
     summary = cluster_summary(result.clusters)
     edges = edge_summary(result.edges)
     wall = time.monotonic() - t0
     n_docs = result.docs.count()
 
+    footer = f"Processed {n_docs} docs in {wall:.1f}s ({n_docs / wall:.0f} docs/sec)"
     if args.output_format == "json":
         out = json.loads(render_json(summary, edges))
         out["wall_sec"] = round(wall, 2)
         out["docs"] = n_docs
         out["docs_per_sec"] = round(n_docs / wall, 1)
-        print(json.dumps(out, indent=2))
+        rendered = json.dumps(out, indent=2)
     elif args.output_format == "markdown":
-        print(render_markdown(summary, edges, severity_counts(result.docs)))
-        print(f"Processed {n_docs} docs in {wall:.1f}s ({n_docs / wall:.0f} docs/sec)")
+        rendered = (
+            render_markdown(summary, edges, severity_counts(result.docs))
+            + f"\n{footer}"
+        )
     else:
-        print(render_text(summary, edges))
-        print(f"Processed {n_docs} docs in {wall:.1f}s ({n_docs / wall:.0f} docs/sec)")
+        rendered = render_text(summary, edges) + f"\n{footer}"
+    if write_report(rendered, args.output):
+        print(f"[report] written to {args.output}")
     spark.stop()
     return 0
 

@@ -76,6 +76,29 @@ def render_json(summary: dict, edge_counts: dict) -> str:
     return json.dumps({"summary": summary, "edges_by_kind": edge_counts}, indent=2)
 
 
+def write_report(rendered: str, path: str | None) -> bool:
+    """Deliver the rendered report: to ``path`` when given, else stdout —
+    with console fallback if the file write fails (reference
+    reporter.py:372-412: save_report falls back to printing rather than
+    losing the report). Returns True iff the file write succeeded."""
+    import logging
+
+    if path:
+        try:
+            with open(path, "w", encoding="utf-8") as f:
+                f.write(rendered)
+                if not rendered.endswith("\n"):
+                    f.write("\n")
+            return True
+        except OSError as exc:
+            logging.getLogger(__name__).warning(
+                "could not write report to %s (%s); printing to console",
+                path, exc,
+            )
+    print(rendered)
+    return False
+
+
 SEVERITY_ORDER = ["Critical", "High", "Medium", "Low", "None"]
 
 

@@ -66,6 +66,7 @@ def run_dedup(
     with_substr: bool = True,
     collect_metrics: bool = True,
     checkpoint: str = "full",
+    iceberg_catalog: str | None = None,
 ) -> DedupResult:
     """collect_metrics=False skips the per-stage counter jobs (bench mode).
 
@@ -75,7 +76,7 @@ def run_dedup(
     (docs, signatures, edges, labels, clusters, exact_groups) still persist —
     the bench/throughput mode.
     """
-    io = TableIO(spark, ckpt_root, run_id)
+    io = TableIO(spark, ckpt_root, run_id, iceberg_catalog=iceberg_catalog)
     sink = MetricsSink(spark, f"{ckpt_root}/{run_id}/_metrics", run_id)
     durable = {"docs", "signatures", "edges", "labels", "clusters", "exact_groups"}
 

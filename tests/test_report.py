@@ -93,3 +93,49 @@ def test_topk_ordering_deterministic(small_result):
     for a, b in zip(summary["top_clusters"], summary["top_clusters"][1:]):
         if a["size"] == b["size"]:
             assert a["cluster_id"] < b["cluster_id"]
+
+
+class TestWriteReport:
+    def test_writes_all_formats_to_file(self, tmp_path):
+        from replicheck_spark.operators.report import (
+            render_json, render_markdown, render_text, write_report,
+        )
+
+        summary = {
+            "n_clusters": 1, "n_member_docs": 2, "n_cross_host": 1,
+            "max_size": 2,
+            "top_clusters": [{
+                "cluster_id": 7, "size": 2, "cross_host": True,
+                "canonical_url": "https://a.example/1",
+            }],
+        }
+        edges = {"exact": 1}
+        for name, rendered in [
+            ("r.txt", render_text(summary, edges)),
+            ("r.json", render_json(summary, edges)),
+            ("r.md", render_markdown(summary, edges, {"Low": 1})),
+        ]:
+            path = str(tmp_path / name)
+            assert write_report(rendered, path) is True
+            body = open(path, encoding="utf-8").read()
+            want = rendered if rendered.endswith("\n") else rendered + "\n"
+            assert body == want
+            assert "https://a.example/1" in body
+
+    def test_falls_back_to_console_on_write_error(self, tmp_path, capsys, caplog):
+        import logging
+
+        from replicheck_spark.operators.report import write_report
+
+        bad = str(tmp_path / "no_such_dir" / "r.txt")
+        with caplog.at_level(logging.WARNING):
+            ok = write_report("the report body", bad)
+        assert ok is False
+        assert "the report body" in capsys.readouterr().out
+        assert any("printing to console" in r.message for r in caplog.records)
+
+    def test_none_path_prints(self, capsys):
+        from replicheck_spark.operators.report import write_report
+
+        assert write_report("plain body", None) is False
+        assert "plain body" in capsys.readouterr().out
