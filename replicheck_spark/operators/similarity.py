@@ -94,11 +94,15 @@ def embedding_dup_pairs(
     import pandas as pd
     from pyspark.sql import types as T
 
-    n, dim = emb.agg(
-        F.count("*"), F.first(F.size("embedding"))
-    ).first()
+    # Path decision: count(*) alone stays on parquet's metadata fast path
+    # (no column read); dim comes from ONE row. The former single
+    # agg(count, first(size(embedding))) forced a full scan of the array
+    # column — the whole table read once just to pick a branch.
+    n = emb.count()
     if n == 0:
         return emb.sparkSession.createDataFrame([], "a long, b long")
+    dim_row = emb.select(F.size("embedding").alias("d")).head(1)
+    dim = dim_row[0]["d"]
     if n * dim * 8 > broadcast_bytes_limit:
         # the 10^12-scale path: bucketed candidates (never all-pairs),
         # exact-cosine confirm within buckets. n_tables independent plane

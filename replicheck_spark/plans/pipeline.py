@@ -57,6 +57,48 @@ def _norm_edges(df: DataFrame) -> DataFrame:
     )
 
 
+def _auto_advisory_partition_size(spark, pages: DataFrame) -> None:
+    """Scale AQE's post-shuffle partition size with the INPUT volume.
+
+    Partition sizing is the one knob that cannot be a constant across scales:
+    AQE coalescing only merges partitions down, so at a fixed
+    ``advisoryPartitionSizeInBytes`` the post-shuffle partition COUNT grows
+    linearly with data — measured on this pipeline, the 4 MB advisory that
+    keeps a 20k-doc test parallel coalesces a 1.6M-doc run to ~300
+    partitions, whose per-task overhead on pandas-UDF stages cost 1.65x wall
+    vs the measured-optimal ~64 (531.9s vs 325.9s, local[8], identical input;
+    fixed LOW counts are far worse still: 817.3s at 16). Targeting
+    ``input_bytes / (8 * cores)`` keeps task waves bounded (~8 per stage) as
+    data grows, clamped to [4 MB, 64 MB]: the floor preserves small-scale
+    parallelism, the ceiling is the classic healthy-partition bound a real
+    cluster would use (at 100 TB it yields ~1.6M partitions of 64 MB —
+    partition count tracks volume, per-partition memory stays flat).
+
+    Runtime-settable AQE conf — applies to this session from the next query
+    on; explicit ``SPARK_GRAFT_ADVISORY_PARTITION`` wins (operator override).
+    Non-local inputs (no resolvable file sizes) keep the session default.
+    """
+    import os
+    from urllib.parse import unquote, urlparse
+
+    if os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION"):
+        return
+    total = 0
+    try:
+        for uri in pages.inputFiles():
+            if uri.startswith("file:"):
+                total += os.path.getsize(unquote(urlparse(uri).path))
+    except Exception:
+        return
+    if not total:
+        return
+    cores = spark.sparkContext.defaultParallelism
+    advisory = min(max(total // (8 * cores), 4 << 20), 64 << 20)
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(advisory)
+    )
+
+
 def run_dedup(
     spark: SparkSession,
     pages: DataFrame,
@@ -79,6 +121,8 @@ def run_dedup(
     io = TableIO(spark, ckpt_root, run_id, iceberg_catalog=iceberg_catalog)
     sink = MetricsSink(spark, f"{ckpt_root}/{run_id}/_metrics", run_id)
     durable = {"docs", "signatures", "edges", "labels", "clusters", "exact_groups"}
+
+    _auto_advisory_partition_size(spark, pages)
 
     # A small single-file input scans as ONE split, serializing the extraction
     # and signature UDFs on one task. Fan out if under-partitioned (metadata

@@ -14,6 +14,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _master_cores(master: str) -> int:
+    """Core count implied by a local[...] master; machine width otherwise."""
+    import re
+
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    return int(m.group(1)) if m else (os.cpu_count() or 8)
+
+
 def get_spark(
     app_name: str = "replicheck_spark",
     master: str | None = None,
@@ -43,6 +51,25 @@ def get_spark(
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_MIN_PARTITION", "256k"),
+        )
+        # AQE coalescing can only merge shuffle partitions DOWN — it never
+        # splits an undersized one. A fixed spark.sql.shuffle.partitions is
+        # therefore a hard ceiling that silently turns into oversized,
+        # spill-prone partitions as data grows (measured: the 1.6M-doc
+        # pipeline ran 2.5x slower at 16 shuffle partitions than at 64 on
+        # identical hardware — per-core throughput HALVED vs the 400k run
+        # purely from partition pressure). Start every shuffle at a high
+        # initial count and let AQE coalesce to the advisory size, so
+        # partition granularity tracks data volume instead of a constant.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS",
+                # 32x the session's core count: always well above the ~8
+                # task waves the advisory sizing converges to, without a
+                # fixed 4-digit bucket constant on 2-core test sessions
+                str(32 * _master_cores(master)),
+            ),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
