@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_quality(spark, sf):
         return textops.quality_score(docs(spark, sf))
 
+    def q_reading_complexity(spark, sf):
+        return textops.reading_complexity(docs(spark, sf), threshold=10.0)
+
     def q_top_tokens(spark, sf):
         return textops.top_tokens(docs(spark, sf), k=20)
 
@@ -210,6 +213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_summary": q_lang_summary,
         "lang_id_ngram": q_lang_id,
         "quality_score": q_quality,
+        "reading_complexity": q_reading_complexity,
         "top_tokens": q_top_tokens,
         "doc_fingerprint": q_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
@@ -355,6 +359,29 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(greatest(length(replace(text, ' ', '')), 1) AS DOUBLE) AS alpha_ratio
                 FROM documents
             )
+        """,
+        "reading_complexity": f"""
+            SELECT doc_id, n_words, n_sentences, n_complex, fog,
+                   CASE WHEN fog / 10.0 >= 3.0 THEN 'Critical'
+                        WHEN fog / 10.0 >= 2.0 THEN 'High'
+                        WHEN fog / 10.0 >= 1.5 THEN 'Medium'
+                        ELSE 'Low' END AS severity
+            FROM (
+                SELECT doc_id, n_words, n_sentences, n_complex,
+                       0.4 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+                              + (100.0 * CAST(n_complex AS DOUBLE))
+                                / CAST(n_words AS DOUBLE)) AS fog
+                FROM (
+                    SELECT doc_id,
+                           len({_TOKS}) AS n_words,
+                           greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                             AS n_sentences,
+                           len(list_filter({_TOKS}, t -> length(t) >= 8))
+                             AS n_complex
+                    FROM documents
+                )
+            )
+            WHERE fog >= 10.0
         """,
         "top_tokens": f"""
             SELECT token, count(*) AS freq

@@ -184,6 +184,55 @@ def quality_score(docs: DataFrame, min_tokens: int = 50, max_tokens: int = 1000)
     )
 
 
+def reading_complexity(docs: DataFrame, threshold: float = 10.0) -> DataFrame:
+    """Per-document complexity scalar + the reference's severity ladder —
+    the web-text analog of per-function cyclomatic complexity (reference
+    tools/CyclomaticComplexity/CCA.py:13-62: scalar per unit, threshold 10,
+    utils.py compute_severity ratio ladder, only units >= threshold listed).
+
+    The scalar is a Gunning-Fog-style reading complexity, fully
+    deterministic and JVM/SQL-expressible (no syllable dictionary):
+
+        fog = 0.4 * (words/sentences + 100 * complex_words/words)
+
+    with sentences = count of [.!?] (min 1), words = whitespace tokens,
+    complex_words = tokens of length >= 8 (3+-syllable proxy). Severity is
+    the exact reference ladder on ratio = fog/threshold (>=3 Critical,
+    >=2 High, >=1.5 Medium, else Low at >=1). Output: docs at or above the
+    threshold, ordered by fog desc then doc_id — the "high complexity
+    functions" report, per-doc.
+    """
+    toks = tokens_col()
+    words = F.size(toks)
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]"), 0)), F.lit(1)
+    )
+    complex_words = F.size(F.filter(toks, lambda t: F.length(t) >= 8))
+    fog = 0.4 * (
+        words.cast("double") / sentences.cast("double")
+        + 100.0 * complex_words.cast("double") / words.cast("double")
+    )
+    ratio = fog / F.lit(float(threshold))
+    sev = (
+        F.when(ratio >= 3.0, "Critical")
+        .when(ratio >= 2.0, "High")
+        .when(ratio >= 1.5, "Medium")
+        .otherwise("Low")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            words.alias("n_words"),
+            sentences.alias("n_sentences"),
+            complex_words.alias("n_complex"),
+            fog.alias("fog"),
+            sev.alias("severity"),
+        )
+        .filter(F.col("fog") >= threshold)
+        .orderBy(F.desc("fog"), F.asc("doc_id"))
+    )
+
+
 def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
     """Global token frequency top-k (explode -> hash agg -> top-k)."""
     return (

@@ -240,3 +240,30 @@ class TestSubstr:
         assert len(edges) == 1
         assert edges[0]["run_tokens"] == 80
         assert edges[0]["kind"] == "substr"
+
+
+class TestReadingComplexity:
+    def test_hand_computed_fog_and_severity(self, spark):
+        """reading_complexity matches a hand-computed Gunning-Fog value and
+        applies the reference severity ladder (utils.py compute_severity) at
+        threshold 10; docs under the threshold are not listed."""
+        from replicheck_spark.operators.textops import reading_complexity
+
+        # doc 1: 10 words, 2 sentence marks, 5 complex (len>=8) words
+        #   fog = 0.4 * (10/2 + 100*5/10) = 0.4 * 55 = 22.0 -> ratio 2.2 -> High
+        long_w = "abcdefgh"  # len 8 -> complex
+        d1 = " ".join([long_w] * 5 + ["tiny"] * 3) + " end. fin!"
+        # doc 2: simple prose, clearly under threshold:
+        #   8 words, 4 sentence marks, 0 complex -> fog = 0.4*(8/4+0) = 0.8
+        d2 = "a b. c d. e f. g h."
+        docs = spark.createDataFrame(
+            [(1, d1), (2, d2)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in reading_complexity(docs, 10.0).collect()}
+        assert set(rows) == {1}
+        r = rows[1]
+        assert r["n_words"] == 10
+        assert r["n_sentences"] == 2
+        assert r["n_complex"] == 5
+        assert abs(r["fog"] - 22.0) < 1e-12
+        assert r["severity"] == "High"
