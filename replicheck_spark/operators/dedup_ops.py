@@ -44,13 +44,21 @@ def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
 
 
 def _shingles_df(docs: DataFrame, k: int) -> DataFrame:
-    """(doc_id, shingle string, n_shingles) — distinct k-shingles via JVM array
-    expressions (sequence + slice + concat_ws), no Python."""
+    """(doc_id, shingle long, n_shingles) — distinct k-shingles via JVM array
+    expressions (sequence + slice + concat_ws), no Python.
+
+    Shingles are xxhash64-keyed at the source: the inverted-index join and
+    the pair aggregation then shuffle and compare 8-byte longs instead of
+    ~k-word strings (~4x narrower shuffle rows, no string hashing in the
+    join). Distinct-hash counts stand in for distinct-shingle counts — a
+    within-doc collision (p ~ 2^-64 per shingle pair, ~1e-8 corpus-wide at
+    sandbox scale, same accepted odds as doc_id = xxhash64(url)) would
+    perturb one count by 1."""
     toks = F.split(F.col("text"), " ")
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
         )
     )
     with_sh = docs.select("doc_id", sh.alias("shingles")).withColumn(
