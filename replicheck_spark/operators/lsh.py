@@ -88,7 +88,7 @@ def _pairs_from_two_arrays(a_col: str, b_col: str):
 
 
 def candidate_pairs(
-    bands: DataFrame, cfg: DedupConfig, observation=None
+    bands: DataFrame, cfg: DedupConfig
 ) -> tuple[DataFrame, DataFrame]:
     """-> (cand_pairs(a, b), capped_buckets(band_id, band_hash, overflow)).
 
@@ -109,6 +109,16 @@ def candidate_pairs(
     Both aggs are partial+final hash aggregations (map-side combine), so the
     shuffled volume after level 1 is proportional to distinct buckets, not
     band rows.
+
+    Truncation metering: ``capped`` derives from the lazily-checkpointed
+    bucket table, so once any consumer of ``pairs`` has run, an aggregate
+    over ``capped`` (e.g. ``sum(overflow)``) is a cheap job over the cached
+    partitions — the pattern the pipeline uses to record ``cands_capped``
+    AFTER its final stage. A ``df.observe`` metric is NOT usable here: a
+    lazy ``localCheckpoint`` anywhere downstream of the observe node fires a
+    build-time QueryExecutionListener event with empty accumulators that
+    resolves the Observation to zero forever (measured on Spark 4.1.2; the
+    r3 pipeline silently recorded dropped=0 unconditionally because of it).
     """
     cap = cfg.bucket_cap
     chunks = (
@@ -132,15 +142,6 @@ def candidate_pairs(
         .withColumn("ids", F.slice("all_ids", 1, cap))
         .drop("all_ids", "chunk_over")
     )
-    if observation is not None:
-        # total member overflow rides the plan itself: filled when the FIRST
-        # consumer materializes the (checkpointed) buckets — no dedicated
-        # driver-side sum job (the eager capped-collect was a pure
-        # serial-floor tax, one extra Spark job per pipeline run)
-        buckets = buckets.observe(
-            observation,
-            F.coalesce(F.sum("overflow"), F.lit(0)).alias("overflow_total"),
-        )
     # lazy: materialized once at first consumption, reused by capped + pairs;
     # no dedicated barrier job (capped often goes unconsumed in bench mode)
     buckets = buckets.localCheckpoint(eager=False)

@@ -68,7 +68,7 @@ def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
 def embedding_dup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     broadcast_bytes_limit: int = 256 * 1024 * 1024,
-    n_planes: int = 12, n_tables: int = 4,
+    n_planes: int = 12, n_tables: int = 4, observation=None,
 ) -> DataFrame:
     """Near-duplicate vector pairs: cosine >= threshold, a < b.
 
@@ -115,7 +115,7 @@ def embedding_dup_pairs(
         # brute force on a planted corpus via this exact branch.
         cands, capped = lsh_bucket_candidates(
             emb, dim=dim, n_planes=n_planes, n_tables=n_tables,
-            meter="embedding_dup_pairs",
+            meter="embedding_dup_pairs", observation=observation,
         )
         a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb"))
         b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb"))
@@ -174,7 +174,14 @@ def _log_overflow_on_execute(bucketed: DataFrame, where: str) -> DataFrame:
     (round 2 ran an eager .first() here, which executed the whole LSH
     bucketing at plan-construction time — one full extra job per build, and
     an API-laziness break flagged by review). If the plan never executes the
-    thread just parks (daemon, reclaimed at exit)."""
+    thread just parks (daemon, reclaimed at exit).
+
+    MUST be applied downstream of (after) any lazy ``localCheckpoint`` and
+    with none added later: creating a lazy checkpoint downstream of an
+    unresolved observe fires a build-time listener event with empty
+    accumulators that resolves the Observation to zero forever (measured on
+    Spark 4.1.2 — the r3 call order had the checkpoint after this observe,
+    so the truncation warning could never fire)."""
     import logging
     import threading
 
@@ -203,6 +210,7 @@ def _log_overflow_on_execute(bucketed: DataFrame, where: str) -> DataFrame:
 def lsh_bucket_candidates(
     emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
     bucket_cap: int = 256, n_tables: int = 1, meter: str | None = None,
+    observation=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Random-hyperplane LSH: bucket = sign-bit string of `n_planes` dot
     products per hash table; candidate pairs generated within buckets only.
@@ -213,6 +221,13 @@ def lsh_bucket_candidates(
     (seed+t) union their candidates: recall ~ 1-(1-p)^T is tunable without
     touching bucket granularity. JVM-side throughout: the plane matrices
     enter the plan as literal arrays; dots via aggregate/zip_with; no Python.
+
+    Metering modes (both attach downstream of the bucket checkpoint, where
+    the metric survives — see _log_overflow_on_execute): pass
+    ``observation`` (a ``pyspark.sql.Observation``) to drain
+    ``overflow_total`` yourself after the first consuming action — no
+    background thread is spawned; or pass ``meter`` (a label) for the
+    self-logging daemon-thread fallback used by the bare operator API.
     """
     def bucket_col(table: int):
         planes = make_hyperplanes(dim, n_planes, seed + table)
@@ -244,9 +259,14 @@ def lsh_bucket_candidates(
         .withColumn("ids", F.slice("all_ids", 1, bucket_cap))
         .drop("all_ids")
     )
-    if meter is not None:
-        grouped = _log_overflow_on_execute(grouped, meter)
     grouped = grouped.localCheckpoint(eager=False)  # reused by capped + pairs
+    if observation is not None:
+        grouped = grouped.observe(
+            observation,
+            F.coalesce(F.sum("overflow"), F.lit(0)).alias("overflow_total"),
+        )
+    elif meter is not None:
+        grouped = _log_overflow_on_execute(grouped, meter)
     capped = grouped.filter(F.col("overflow") > 0).select(
         "table_id", "bucket", "overflow"
     )
@@ -276,7 +296,7 @@ def lsh_bucket_candidates(
 
 def knn_lsh(
     emb: DataFrame, dim: int, n_queries: int = 10, k: int = 5,
-    n_planes: int = 8, seed: int = 42, n_tables: int = 4,
+    n_planes: int = 8, seed: int = 42, n_tables: int = 4, observation=None,
 ) -> DataFrame:
     """ANN top-k via hyperplane buckets: exact cosine only against same-bucket
     candidates, unioned over ``n_tables`` independent hash tables (multi-probe
@@ -285,7 +305,7 @@ def knn_lsh(
     force."""
     cands, capped = lsh_bucket_candidates(
         emb, dim, n_planes=n_planes, seed=seed, n_tables=n_tables,
-        meter="knn_lsh",
+        meter="knn_lsh", observation=observation,
     )
     pairs = cands.unionByName(
         cands.select(F.col("b").alias("a"), F.col("a").alias("b"))

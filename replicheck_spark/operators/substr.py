@@ -71,6 +71,61 @@ def _common(pre_a: np.ndarray, pre_b: np.ndarray, m: int) -> bool:
     return len(np.intersect1d(wa, wb, assume_unique=False)) > 0
 
 
+def _sorted_any_common(x: np.ndarray, y: np.ndarray) -> bool:
+    """Any shared value between two SORTED-UNIQUE uint64 arrays, via one
+    searchsorted pass over the smaller array — no per-call sort (np.intersect1d
+    re-sorts both sides every call; these arrays are pre-sorted per distinct
+    text and probed once per candidate pair)."""
+    if len(x) > len(y):
+        x, y = y, x
+    if not len(x):
+        return False
+    idx = np.searchsorted(y, x)
+    idx[idx == len(y)] = len(y) - 1
+    return bool(np.any(y[idx] == x))
+
+
+def longest_common_run_from_prefixes(
+    pre_a: np.ndarray, pre_b: np.ndarray, min_run: int = 1,
+    exact: bool = True, wa_min: np.ndarray | None = None,
+    wb_min: np.ndarray | None = None,
+) -> int:
+    """Core of ``longest_common_run_hashed`` over PRECOMPUTED prefix-hash
+    arrays (``_prefix_hashes``), so a text appearing in many candidate pairs
+    pays its O(n) hashing once, not once per pair.
+
+    ``wa_min``/``wb_min``, when given, are the texts' sorted-unique
+    ``min_run``-window hashes (``np.unique(_window_hashes(pre, min_run))``)
+    — the threshold membership test then probes the cached arrays instead of
+    rebuilding both window sets per pair, which was the verify stage's
+    per-pair hot spot.
+    """
+    n_a, n_b = len(pre_a) - 1, len(pre_b) - 1
+    if n_a <= 0 or n_b <= 0:
+        return 0
+    hi = min(n_a, n_b)
+    lo = max(min_run, 1)
+    if lo > hi:
+        return 0
+    if wa_min is not None and wb_min is not None:
+        if not _sorted_any_common(wa_min, wb_min):
+            return 0
+    elif not _common(pre_a, pre_b, lo):
+        return 0
+    if not exact:
+        return lo
+    best = lo
+    lo += 1
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        if _common(pre_a, pre_b, mid):
+            best = mid
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    return best
+
+
 def longest_common_run_hashed(
     a: list[int] | np.ndarray, b: list[int] | np.ndarray, min_run: int = 1,
     exact: bool = True,
@@ -92,32 +147,17 @@ def longest_common_run_hashed(
     b = np.asarray(b, dtype=np.uint64)
     if not len(a) or not len(b):
         return 0
-    pre_a, pre_b = _prefix_hashes(a), _prefix_hashes(b)
-    hi = min(len(a), len(b))
-    lo = max(min_run, 1)
-    if lo > hi or not _common(pre_a, pre_b, lo):
-        return 0
-    if not exact:
-        return lo
-    best = lo
-    lo += 1
-    while lo <= hi:
-        mid = (lo + hi) // 2
-        if _common(pre_a, pre_b, mid):
-            best = mid
-            lo = mid + 1
-        else:
-            hi = mid - 1
-    return best
+    return longest_common_run_from_prefixes(
+        _prefix_hashes(a), _prefix_hashes(b), min_run=min_run, exact=exact
+    )
 
 
 def anchor_pairs(
     signatures: DataFrame, cfg: DedupConfig, bucket_cap: int = 64,
-    observation=None,
-) -> tuple[DataFrame, DataFrame]:
-    """-> (cand(a, b), capped(anchor, overflow)) via deterministic anchor
-    sampling over the stored distinct shingle-hash arrays (pmod on int64,
-    JVM-side).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """-> (cand(a, b), capped(anchor, overflow), stats(rows, overflow)) via
+    deterministic anchor sampling over the stored distinct shingle-hash
+    arrays (pmod on int64, JVM-side).
 
     Anchor density: a fraction 1/q of ALL corpus shingles enters the inverted
     index, with q = max(1, (L-k+1) // cfg.substr_anchors_expected). At the
@@ -126,9 +166,14 @@ def anchor_pairs(
     sample proportionally sparser (L=100 -> q=12 -> ~8%), and lowering
     ``substr_anchors_expected`` trades recall for index volume explicitly —
     the knob, the 1/q share, and the e^-E bound are stated in docs/SCALE.md's
-    stage table. ``observation``, when given, rides the bucket agg and
-    reports anchor_rows (index volume actually shuffled) plus overflow_total
-    (capped-bucket members) with no extra driver job.
+    stage table.
+
+    ``stats`` has one row per anchor bucket (``rows`` = members in the
+    inverted index, ``overflow`` = members beyond ``bucket_cap``); both
+    frames derive from the lazily-checkpointed bucket table, so aggregating
+    them AFTER any consumer of ``cand`` has run is a cheap job over cached
+    partitions (the pipeline's drain pattern — df.observe cannot be used
+    here, see operators/lsh.py candidate_pairs).
     """
     need = cfg.substr_min_tokens - cfg.shingle_k + 1
     q = max(1, need // cfg.substr_anchors_expected)
@@ -145,13 +190,11 @@ def anchor_pairs(
         anchors.groupBy("anchor")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("all_ids"))
         .withColumn("overflow", F.greatest(F.size("all_ids") - bucket_cap, F.lit(0)))
+        # lazy: materialized by the first cand consumer, then shared by the
+        # capped/stats metric aggs instead of recomputing the explode+agg
+        .localCheckpoint(eager=False)
     )
-    if observation is not None:
-        buckets = buckets.observe(
-            observation,
-            F.coalesce(F.sum("overflow"), F.lit(0)).alias("overflow_total"),
-            F.coalesce(F.sum(F.size("all_ids")), F.lit(0)).alias("anchor_rows"),
-        )
+    stats = buckets.select(F.size("all_ids").alias("rows"), "overflow")
     buckets = buckets.withColumn("ids", F.slice("all_ids", 1, bucket_cap))
     capped = buckets.filter(F.col("overflow") > 0).select("anchor", "overflow")
     pairs = (
@@ -175,7 +218,7 @@ def anchor_pairs(
         .select("p.a", "p.b")
         .dropDuplicates(["a", "b"])
     )
-    return pairs, capped
+    return pairs, capped, stats
 
 
 _VERIFY_SCHEMA = T.StructType(
@@ -225,25 +268,30 @@ def substr_edges(
         from replicheck_spark.functions.hashing import hash_token_lists
 
         for pdf in batches:
-            # hash every DISTINCT text of the batch in one flattened pass
-            # (factorize -> one blake2b per distinct token) instead of a
-            # per-token Python loop per row
+            # ALL per-text work is hoisted to one pass over the batch's
+            # DISTINCT texts: token hashing (factorize -> one blake2b per
+            # distinct token), the polynomial prefix hashes, and the
+            # sorted-unique min_run-window set used by the threshold test.
+            # The per-pair loop then only probes two cached sorted arrays
+            # (searchsorted) — a text in 50 candidate pairs is hashed once,
+            # not 50 times (the r3 hot spot: _prefix_hashes re-ran per pair).
             uniq = pd.unique(
                 pd.concat([pdf["a_text"], pdf["b_text"]], ignore_index=True)
             )
             flat, off = hash_token_lists([tokenize(t) for t in uniq])
-            cache = {
-                t: flat[off[i] : off[i + 1]] for i, t in enumerate(uniq)
-            }
-
-            def tok_hashes(text: str) -> np.ndarray:
-                return cache[text]
+            pre_cache: dict[str, np.ndarray] = {}
+            win_cache: dict[str, np.ndarray] = {}
+            for i, t in enumerate(uniq):
+                pre = _prefix_hashes(flat[off[i] : off[i + 1]])
+                pre_cache[t] = pre
+                win_cache[t] = np.unique(_window_hashes(pre, min_run))
 
             out = {"a": [], "b": [], "a_url": [], "b_url": [], "run_tokens": []}
             for row in pdf.itertuples(index=False):
-                run = longest_common_run_hashed(
-                    tok_hashes(row.a_text), tok_hashes(row.b_text),
+                run = longest_common_run_from_prefixes(
+                    pre_cache[row.a_text], pre_cache[row.b_text],
                     min_run=min_run, exact=exact_run,
+                    wa_min=win_cache[row.a_text], wb_min=win_cache[row.b_text],
                 )
                 if run >= min_run:
                     out["a"].append(row.a)
@@ -284,7 +332,7 @@ def substr_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.sha2("text", 256).alias("sha256"),
         sh_udf(F.col("text")).alias("shingles"),
     ).localCheckpoint(eager=False)  # consumed by anchor + expansion branches
-    cand, _capped = anchor_pairs(sigs, cfg)
+    cand, _capped, _stats = anchor_pairs(sigs, cfg)
     d = docs.select(
         "doc_id", F.col("doc_id").cast("string").alias("url"),
         F.col("text").alias("norm_text"),

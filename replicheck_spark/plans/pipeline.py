@@ -20,7 +20,11 @@ from replicheck_spark.operators.components import (
     connected_components,
 )
 from replicheck_spark.operators.confirm import confirm_pairs
-from replicheck_spark.operators.exact import exact_edges_from_groups, exact_groups
+from replicheck_spark.operators.exact import (
+    exact_edges,
+    exact_edges_from_groups,
+    exact_groups,
+)
 from replicheck_spark.operators.extract import eligible_docs, extract_docs
 from replicheck_spark.operators.lsh import candidate_pairs, explode_bands
 from replicheck_spark.operators.signatures import compute_signatures
@@ -77,26 +81,33 @@ def _auto_advisory_partition_size(spark, pages: DataFrame) -> None:
     Runtime-settable AQE conf — applies to this session from the next query
     on; explicit ``SPARK_GRAFT_ADVISORY_PARTITION`` wins (operator override).
     Non-local inputs (no resolvable file sizes) keep the session default.
+
+    Returns the PREVIOUS conf value when it changed the setting (None
+    otherwise) so ``run_dedup`` can restore it: the advisory is sized for
+    THIS input, and leaking it session-wide would silently re-partition
+    every later query (including a subsequent run_dedup over a different
+    input) to the wrong volume.
     """
     import os
     from urllib.parse import unquote, urlparse
 
     if os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION"):
-        return
+        return None
     total = 0
     try:
         for uri in pages.inputFiles():
             if uri.startswith("file:"):
                 total += os.path.getsize(unquote(urlparse(uri).path))
     except Exception:
-        return
+        return None
     if not total:
-        return
+        return None
     cores = spark.sparkContext.defaultParallelism
     advisory = min(max(total // (8 * cores), 4 << 20), 64 << 20)
-    spark.conf.set(
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes", str(advisory)
-    )
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(advisory))
+    return prev
 
 
 def run_dedup(
@@ -118,11 +129,38 @@ def run_dedup(
     (docs, signatures, edges, labels, clusters, exact_groups) still persist —
     the bench/throughput mode.
     """
+    # Scope the input-sized advisory to THIS run: every durable output is on
+    # disk by the time we return, so later queries in the session (bench
+    # headline queries, a run over a different input) must see the session
+    # default again, not this input's sizing.
+    prev_advisory = _auto_advisory_partition_size(spark, pages)
+    try:
+        return _run_dedup_stages(
+            spark, pages, cfg, ckpt_root, run_id, with_substr,
+            collect_metrics, checkpoint, iceberg_catalog,
+        )
+    finally:
+        if prev_advisory is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                prev_advisory,
+            )
+
+
+def _run_dedup_stages(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig,
+    ckpt_root: str,
+    run_id: str,
+    with_substr: bool,
+    collect_metrics: bool,
+    checkpoint: str,
+    iceberg_catalog: str | None,
+) -> DedupResult:
     io = TableIO(spark, ckpt_root, run_id, iceberg_catalog=iceberg_catalog)
     sink = MetricsSink(spark, f"{ckpt_root}/{run_id}/_metrics", run_id)
     durable = {"docs", "signatures", "edges", "labels", "clusters", "exact_groups"}
-
-    _auto_advisory_partition_size(spark, pages)
 
     # A small single-file input scans as ONE split, serializing the extraction
     # and signature UDFs on one task. Fan out if under-partitioned (metadata
@@ -135,11 +173,16 @@ def run_dedup(
     # threaded as the downstream stage's rows_in (no separate count jobs).
     observed: dict[str, int] = {}
     built: set[str] = set()  # stages written fresh this run (not resumed)
-    # (stage_name, Observation, {metric_key: record_as}) resolved AFTER the
-    # consuming actions ran — capped/overflow totals ride the plans via
-    # df.observe instead of eager .collect() jobs (each eager collect was one
-    # full extra Spark job at candidate-build time, pure serial floor)
-    deferred_obs: list[tuple[str, Observation, dict[str, str]]] = []
+    # (stage_name, metric_frame, agg_exprs) resolved AFTER the consuming
+    # actions ran: each frame derives from a lazily-checkpointed bucket table
+    # that the pair-consuming stages materialize, so the drain agg is a cheap
+    # job over cached partitions — not a recompute, and not an eager collect
+    # at build time (that was r2's serial-floor tax). df.observe is NOT an
+    # option for these: a lazy localCheckpoint anywhere downstream of the
+    # observe node fires a build-time listener event with empty accumulators
+    # that resolves the Observation to zero forever (measured on Spark 4.1.2
+    # — the r3 pipeline recorded cands_capped dropped=0 unconditionally).
+    deferred_metrics: list[tuple[str, DataFrame, list]] = []
 
     import os as _os
     import sys as _sys
@@ -202,19 +245,27 @@ def run_dedup(
     exact_g = stage(
         "exact_groups", lambda: exact_groups(elig, with_rep=True), "signatures"
     )
+    # A run resumed from a pre-rep checkpoint reads an exact_groups table
+    # without rep_id/rep_url; fall back to the self-contained star-edge agg
+    # there so the stage-resume contract (SURVEY §3.4) holds across the
+    # schema change instead of failing with AnalysisException.
     exact_e = stage(
         "exact_edges",
-        lambda: exact_edges_from_groups(elig, exact_g),
+        lambda: exact_edges_from_groups(elig, exact_g)
+        if "rep_id" in exact_g.columns
+        else exact_edges(elig),
         "signatures",
     )
 
     def build_cands():
         bands = explode_bands(sigs, cfg)
-        obs = Observation() if collect_metrics else None
-        pairs, _capped = candidate_pairs(bands, cfg, observation=obs)
-        if obs is not None:
-            # resolved after the consuming action — see deferred_obs
-            deferred_obs.append(("cands_capped", obs, {"overflow_total": "dropped"}))
+        pairs, capped = candidate_pairs(bands, cfg)
+        if collect_metrics:
+            # resolved after the consuming action — see deferred_metrics
+            deferred_metrics.append((
+                "cands_capped", capped,
+                [F.coalesce(F.sum("overflow"), F.lit(0)).alias("dropped")],
+            ))
         return pairs
 
     cands = stage("cand_pairs", build_cands, "signatures")
@@ -225,12 +276,12 @@ def run_dedup(
 
     if with_substr:
         def build_substr():
-            obs = Observation() if collect_metrics else None
-            sub_cand, _capped = anchor_pairs(sigs, cfg, observation=obs)
-            if obs is not None:
-                deferred_obs.append((
-                    "substr_anchors", obs,
-                    {"overflow_total": "dropped", "anchor_rows": "rows_out"},
+            sub_cand, _capped, stats = anchor_pairs(sigs, cfg)
+            if collect_metrics:
+                deferred_metrics.append((
+                    "substr_anchors", stats,
+                    [F.coalesce(F.sum("overflow"), F.lit(0)).alias("dropped"),
+                     F.coalesce(F.sum("rows"), F.lit(0)).alias("rows_out")],
                 ))
             # skip pairs already confirmed near (cheaper verify)
             fresh = sub_cand.join(near_e.select("a", "b"), ["a", "b"], "left_anti")
@@ -257,16 +308,17 @@ def run_dedup(
         "clusters", lambda: clusters_from_labels(labels, docs), "labels"
     )
 
-    # Drain the deferred observations. Safe iff their plans actually ran:
-    # a deferred entry only exists when the build ran, and in checkpoint=min
-    # the (lazy) candidate/anchor frames materialize via the durable edges
-    # write — if "edges" was resumed from disk they never executed and .get
-    # would block forever, so skip (the original run already recorded them).
+    # Drain the deferred metrics. Cheap iff their bucket checkpoints actually
+    # materialized: a deferred entry only exists when the build ran, and in
+    # checkpoint=min the (lazy) candidate/anchor frames materialize via the
+    # durable edges write — if "edges" was resumed from disk they never
+    # executed and the agg would RECOMPUTE the bucketing from scratch, so
+    # skip (the original run already recorded them).
     if collect_metrics and (checkpoint != "min" or "edges" in built):
-        for mstage, obs, keys in deferred_obs:
-            vals = obs.get
-            dropped = int(vals.get("overflow_total") or 0)
-            rows_out = int(vals["anchor_rows"]) if "anchor_rows" in vals else -1
+        for mstage, frame, exprs in deferred_metrics:
+            vals = frame.agg(*exprs).first().asDict()
+            dropped = int(vals.get("dropped") or 0)
+            rows_out = int(vals["rows_out"]) if "rows_out" in vals else -1
             if dropped or rows_out >= 0:
                 sink.record_totals(mstage, rows_out=rows_out, dropped=dropped)
 

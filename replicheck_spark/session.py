@@ -30,6 +30,16 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    # An EXPLICITLY pinned shuffle count (arg or env — bench.py --shuffle
+    # pins it at both scaling levels for identical-plan campaigns) must also
+    # pin AQE's initialPartitionNum: initialPartitionNum OVERRIDES
+    # spark.sql.shuffle.partitions for every AQE-coalesced shuffle, so
+    # without this the per-core 32x default would silently give local[2] vs
+    # local[8] different initial partitioning and void the identical-plan
+    # guarantee. Unpinned sessions keep the volume-tracking 32x default.
+    pinned = shuffle_partitions is not None or bool(
+        os.environ.get("SPARK_GRAFT_SHUFFLE")
+    )
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", n))
@@ -65,10 +75,11 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get(
                 "SPARK_GRAFT_INITIAL_PARTITIONS",
-                # 32x the session's core count: always well above the ~8
-                # task waves the advisory sizing converges to, without a
-                # fixed 4-digit bucket constant on 2-core test sessions
-                str(32 * _master_cores(master)),
+                # pinned sessions: match the pinned shuffle count exactly;
+                # otherwise 32x the session's core count — always well above
+                # the ~8 task waves the advisory sizing converges to, without
+                # a fixed 4-digit bucket constant on 2-core test sessions
+                str(shuffle_partitions if pinned else 32 * _master_cores(master)),
             ),
         )
         .config("spark.sql.session.timeZone", "UTC")

@@ -217,6 +217,40 @@ class TestSubstr:
         assert longest_common_run_hashed([], b) == 0
         assert longest_common_run_hashed(a, a) == 6
 
+    def test_cached_prefix_path_matches_direct(self):
+        """The batch-cached verify path (precomputed prefixes + sorted-unique
+        window sets) must agree with the direct per-pair computation on random
+        sequences around the threshold."""
+        import random
+
+        import numpy as np
+
+        from replicheck_spark.operators.substr import (
+            _prefix_hashes,
+            _window_hashes,
+            longest_common_run_from_prefixes,
+        )
+
+        rng = random.Random(3)
+        for trial in range(30):
+            n = rng.randint(0, 40)
+            m = rng.randint(0, 40)
+            a = [rng.randint(0, 9) for _ in range(n)]
+            shared = [rng.randint(0, 9) for _ in range(rng.randint(0, 12))]
+            b = a[: rng.randint(0, n)] + shared + [
+                rng.randint(0, 9) for _ in range(m)
+            ]
+            for min_run, exact in [(1, True), (3, True), (5, False), (8, True)]:
+                want = longest_common_run_hashed(a, b, min_run=min_run, exact=exact)
+                pa = _prefix_hashes(np.asarray(a, dtype=np.uint64))
+                pb = _prefix_hashes(np.asarray(b, dtype=np.uint64))
+                got = longest_common_run_from_prefixes(
+                    pa, pb, min_run=min_run, exact=exact,
+                    wa_min=np.unique(_window_hashes(pa, min_run)),
+                    wb_min=np.unique(_window_hashes(pb, min_run)),
+                )
+                assert got == want, (a, b, min_run, exact)
+
     def test_substr_pair_detected(self, spark):
         import random
         rng = random.Random(1)
@@ -235,7 +269,7 @@ class TestSubstr:
         docs = extract_docs(pdf)
         elig = eligible_docs(docs, 50)
         sigs = compute_signatures(elig, CFG)
-        cand, capped = anchor_pairs(sigs, CFG)
+        cand, capped, _stats = anchor_pairs(sigs, CFG)
         edges = substr_edges(cand, docs, CFG).collect()
         assert len(edges) == 1
         assert edges[0]["run_tokens"] == 80
