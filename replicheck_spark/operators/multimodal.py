@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque `binary` columns
 with typed metadata.
 
-The decode step is STUBBED (no codec libraries in this container — clearly
-marked below); everything Spark-side is real and tested: schema, batch shape,
-Arrow transfer, partitioning, and deterministic byte-level feature extraction
-(length, sha256, shannon entropy, magic-byte sniffing) over ``mapInPandas``.
-
-A production deployment swaps `_decode_image` for a real decoder (PIL/ffmpeg)
-without touching the Spark plumbing.
+Everything Spark-side is real and tested: schema, batch shape, Arrow
+transfer, partitioning, and deterministic byte-level feature extraction
+(length, sha256, shannon entropy, magic-byte sniffing, and header-parsed
+image dimensions for PNG/JPEG/GIF — no codec library needed) over
+``mapInPandas``. Full PIXEL decode (the part that genuinely requires a codec
+like PIL/libjpeg, absent in this container) stays out of scope; a production
+deployment adds it inside the same ``extract_features`` batch loop without
+touching the Spark plumbing. Header dimensions already cover the metadata a
+training-data pipeline filters on (min-resolution gates, aspect buckets).
 """
 
 from __future__ import annotations
@@ -36,25 +38,74 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("sha256", T.StringType()),
         T.StructField("entropy", T.DoubleType()),
         T.StructField("sniffed", T.StringType()),
+        T.StructField("img_width", T.IntegerType()),   # null: not an image
+        T.StructField("img_height", T.IntegerType()),  # or corrupt header
     ]
 )
 
 _MAGIC = {
     b"\x89PNG": "png",
     b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
     b"RIFF": "riff",
     b"ID3": "mp3",
 }
 
+# JPEG start-of-frame markers carry dimensions; C4/C8/CC look like SOFn but
+# are Huffman/arithmetic tables (no frame header)
+_JPEG_NON_SOF = frozenset((0xC4, 0xC8, 0xCC))
 
-def _decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real image decoding requires a codec library not present in this
-    container. The Spark plumbing (schema/batching/partitioning) around it is
-    real; production swaps this function for PIL/turbojpeg."""
-    raise NotImplementedError(
-        "image decode requires a codec library (PIL/libjpeg); "
-        "not available in this environment"
-    )
+
+def _image_dims(payload: bytes) -> tuple[int, int] | None:
+    """(width, height) parsed from PNG / JPEG / GIF header bytes only — no
+    codec dependency; None for non-image or truncated/corrupt payloads.
+
+    * PNG: the IHDR chunk is mandated first, so width/height are big-endian
+      u32 at fixed offsets 16/20.
+    * JPEG: walk the segment chain until a SOFn marker; height/width are
+      big-endian u16 at offsets 5/7 inside that segment.
+    * GIF: logical screen descriptor right after the 6-byte signature,
+      little-endian u16 pair.
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            return (
+                int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"),
+            )
+        return None
+    if payload[:3] == b"\xff\xd8\xff":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:  # out of sync: not a marker — bail
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+                if i + 9 <= n:
+                    return (
+                        int.from_bytes(payload[i + 7 : i + 9], "big"),
+                        int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    )
+                return None
+            if marker == 0xDA:  # entropy-coded data follows; no SOF seen
+                return None
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return (
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    return None
 
 
 def _sniff(payload: bytes) -> str:
@@ -99,17 +150,22 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = {
                 "media_id": [], "kind": [], "n_bytes": [], "sha256": [],
-                "entropy": [], "sniffed": [],
+                "entropy": [], "sniffed": [], "img_width": [], "img_height": [],
             }
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
+                dims = _image_dims(payload)
                 rows["media_id"].append(r.media_id)
                 rows["kind"].append(r.kind)
                 rows["n_bytes"].append(len(payload))
                 rows["sha256"].append(hashlib.sha256(payload).hexdigest())
                 rows["entropy"].append(_entropy(payload))
                 rows["sniffed"].append(_sniff(payload))
-            yield pd.DataFrame(rows)
+                rows["img_width"].append(dims[0] if dims else None)
+                rows["img_height"].append(dims[1] if dims else None)
+            yield pd.DataFrame(
+                rows,
+            ).astype({"img_width": "Int32", "img_height": "Int32"})
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA
