@@ -60,7 +60,9 @@ def main(argv=None) -> int:
 
     from replicheck_spark.config import DedupConfig
     from replicheck_spark.operators.report import (
+        block_dup_summary,
         cluster_summary,
+        complexity_summary,
         edge_summary,
         render_json,
         render_markdown,
@@ -97,23 +99,29 @@ def main(argv=None) -> int:
     )
     summary = cluster_summary(result.clusters)
     edges = edge_summary(result.edges)
+    # analyzer sections (reference reports every tool's findings): bounded
+    # one-pass aggregations over the already-checkpointed docs table
+    complexity = complexity_summary(result.docs)
+    blocks = block_dup_summary(result.docs)
     wall = time.monotonic() - t0
     n_docs = result.docs.count()
 
     footer = f"Processed {n_docs} docs in {wall:.1f}s ({n_docs / wall:.0f} docs/sec)"
     if args.output_format == "json":
-        out = json.loads(render_json(summary, edges))
+        out = json.loads(render_json(summary, edges, complexity, blocks))
         out["wall_sec"] = round(wall, 2)
         out["docs"] = n_docs
         out["docs_per_sec"] = round(n_docs / wall, 1)
         rendered = json.dumps(out, indent=2)
     elif args.output_format == "markdown":
         rendered = (
-            render_markdown(summary, edges, severity_counts(result.docs))
+            render_markdown(summary, edges, severity_counts(result.docs),
+                            complexity=complexity, blocks=blocks)
             + f"\n{footer}"
         )
     else:
-        rendered = render_text(summary, edges) + f"\n{footer}"
+        rendered = render_text(summary, edges, complexity=complexity,
+                               blocks=blocks) + f"\n{footer}"
     if write_report(rendered, args.output):
         print(f"[report] written to {args.output}")
     spark.stop()

@@ -43,6 +43,57 @@ def edge_summary(edges: DataFrame) -> dict:
     return {r["kind"]: r["count"] for r in rows}
 
 
+def complexity_summary(
+    docs: DataFrame, threshold: float = 10.0, top_k: int = 5
+) -> dict:
+    """Reading-complexity section data (the reference reports every
+    analyzer's findings, reporter.py:20-145 — this is the complexity
+    analyzer's section for the dedup job report): severity counts over the
+    flagged docs plus the top-k worst, both bounded collects."""
+    from replicheck_spark.operators.textops import reading_complexity
+
+    flagged = reading_complexity(
+        docs.select("doc_id", F.col("norm_text").alias("text")),
+        threshold=threshold,
+    )
+    by_sev = {
+        r["severity"]: r["n"]
+        for r in flagged.groupBy("severity").agg(F.count("*").alias("n")).collect()
+    }
+    top = flagged.limit(top_k).select("doc_id", "fog", "severity").collect()
+    return {
+        "threshold": threshold,
+        "n_flagged": sum(by_sev.values()),
+        "by_severity": by_sev,
+        "top": [
+            {"doc_id": r["doc_id"], "fog": round(r["fog"], 1),
+             "severity": r["severity"]}
+            for r in top
+        ],
+    }
+
+
+def block_dup_summary(docs: DataFrame, block_tokens: int = 100) -> dict:
+    """Duplicated-block section data: one hash-agg pass over the exploded
+    unit table (operators/blocks.py), collected as a single summary row."""
+    from replicheck_spark.operators.blocks import block_exact_dups
+
+    row = block_exact_dups(
+        docs.select("doc_id", F.col("norm_text").alias("text")),
+        block_tokens=block_tokens,
+    ).agg(
+        F.count("*").alias("n_dup_blocks"),
+        F.coalesce(F.sum("n_blocks"), F.lit(0)).alias("n_copies"),
+        F.coalesce(F.max("n_docs"), F.lit(0)).alias("max_docs"),
+    ).collect()[0]
+    return {
+        "block_tokens": block_tokens,
+        "n_dup_blocks": int(row["n_dup_blocks"]),
+        "n_copies": int(row["n_copies"]),
+        "max_docs": int(row["max_docs"]),
+    }
+
+
 def _osc8(url: str) -> str:
     """OSC-8 terminal hyperlink (reference _format_path terminal mode,
     reporter.py:171-177): clickable in supporting terminals, plain text
@@ -50,9 +101,14 @@ def _osc8(url: str) -> str:
     return f"\033]8;;{url}\033\\{url}\033]8;;\033\\"
 
 
-def render_text(summary: dict, edge_counts: dict, hyperlinks: bool = False) -> str:
+def render_text(
+    summary: dict, edge_counts: dict, hyperlinks: bool = False,
+    complexity: dict | None = None, blocks: dict | None = None,
+) -> str:
     """Reference-flavored text report (reporter.py:121-131 duplicate section);
-    ``hyperlinks=True`` wraps canonicals in OSC-8 escapes for terminals."""
+    ``hyperlinks=True`` wraps canonicals in OSC-8 escapes for terminals.
+    ``complexity``/``blocks`` (from complexity_summary / block_dup_summary)
+    add the analyzer sections the reference prints for every tool."""
     link = _osc8 if hyperlinks else (lambda u: u)
     lines = [
         "=== replicheck_spark dedup report ===",
@@ -63,6 +119,23 @@ def render_text(summary: dict, edge_counts: dict, hyperlinks: bool = False) -> s
         "Edges by kind: "
         + ", ".join(f"{k}={v}" for k, v in sorted(edge_counts.items())),
     ]
+    if blocks is not None:
+        lines.append(
+            f"Duplicated blocks ({blocks['block_tokens']} tokens): "
+            f"{blocks['n_dup_blocks']} distinct shared blocks, "
+            f"{blocks['n_copies']} copies, widest spread "
+            f"{blocks['max_docs']} docs"
+        )
+    if complexity is not None:
+        lines.append(
+            f"High reading complexity (fog >= {complexity['threshold']:g}): "
+            f"{complexity['n_flagged']} docs"
+            + _severity_suffix(complexity["by_severity"])
+        )
+        for d in complexity["top"]:
+            lines.append(
+                f"  doc {d['doc_id']}: fog={d['fog']} [{d['severity']}]"
+            )
     for i, c in enumerate(summary["top_clusters"], 1):
         flag = " (cross-host)" if c["cross_host"] else ""
         lines.append(
@@ -72,8 +145,16 @@ def render_text(summary: dict, edge_counts: dict, hyperlinks: bool = False) -> s
     return "\n".join(lines)
 
 
-def render_json(summary: dict, edge_counts: dict) -> str:
-    return json.dumps({"summary": summary, "edges_by_kind": edge_counts}, indent=2)
+def render_json(
+    summary: dict, edge_counts: dict, complexity: dict | None = None,
+    blocks: dict | None = None,
+) -> str:
+    doc = {"summary": summary, "edges_by_kind": edge_counts}
+    if complexity is not None:
+        doc["reading_complexity"] = complexity
+    if blocks is not None:
+        doc["duplicated_blocks"] = blocks
+    return json.dumps(doc, indent=2)
 
 
 def write_report(rendered: str, path: str | None) -> bool:
@@ -128,7 +209,8 @@ def _md_link(url: str) -> str:
 
 
 def render_markdown(
-    summary: dict, edge_counts: dict, sev_counts: dict | None = None
+    summary: dict, edge_counts: dict, sev_counts: dict | None = None,
+    complexity: dict | None = None, blocks: dict | None = None,
 ) -> str:
     """Markdown report (reference _generate_markdown_report,
     reporter.py:321-370): a `## Summary` of per-section counts with severity
@@ -167,5 +249,31 @@ def render_markdown(
         for sev in SEVERITY_ORDER:
             if sev_counts.get(sev):
                 md.append(f"- {sev}: {sev_counts[sev]} docs")
+        md.append("")
+    if blocks is not None:
+        md.append(f"## Duplicated blocks ({blocks['block_tokens']} tokens)")
+        if blocks["n_dup_blocks"]:
+            md.append(
+                f"- {blocks['n_dup_blocks']} distinct blocks shared across "
+                f"documents ({blocks['n_copies']} copies; widest spread "
+                f"{blocks['max_docs']} docs)"
+            )
+        else:
+            md.append("**No duplicated blocks found.**")
+        md.append("")
+    if complexity is not None:
+        md.append("## Reading complexity")
+        if complexity["n_flagged"]:
+            md.append(
+                f"- {complexity['n_flagged']} docs at or above fog "
+                f"{complexity['threshold']:g}"
+                + _severity_suffix(complexity["by_severity"])
+            )
+            for d in complexity["top"]:
+                md.append(
+                    f"- doc {d['doc_id']}: fog={d['fog']} [{d['severity']}]"
+                )
+        else:
+            md.append("**No high-complexity docs found.**")
         md.append("")
     return "\n".join(md)

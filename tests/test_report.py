@@ -8,7 +8,9 @@ import pytest
 
 from replicheck_spark.config import DedupConfig
 from replicheck_spark.operators.report import (
+    block_dup_summary,
     cluster_summary,
+    complexity_summary,
     edge_summary,
     render_json,
     render_markdown,
@@ -93,6 +95,71 @@ def test_topk_ordering_deterministic(small_result):
     for a, b in zip(summary["top_clusters"], summary["top_clusters"][1:]):
         if a["size"] == b["size"]:
             assert a["cluster_id"] < b["cluster_id"]
+
+
+class TestAnalyzerSections:
+    """reading_complexity + duplicated-block sections (VERDICT r3 item 6):
+    every analyzer's findings surface in the report, reference style."""
+
+    def test_complexity_section_text_and_md(self, small_result):
+        summary = cluster_summary(small_result.clusters, top_k=3)
+        edges = edge_summary(small_result.edges)
+        # threshold 0 flags every doc deterministically
+        comp = complexity_summary(small_result.docs, threshold=0.1, top_k=2)
+        assert comp["n_flagged"] > 0
+        assert sum(comp["by_severity"].values()) == comp["n_flagged"]
+        assert len(comp["top"]) == 2
+
+        text = render_text(summary, edges, complexity=comp)
+        assert "High reading complexity (fog >= 0.1):" in text
+        assert f"{comp['n_flagged']} docs" in text
+        assert f"doc {comp['top'][0]['doc_id']}: fog=" in text
+
+        md = render_markdown(summary, edges, complexity=comp)
+        assert "## Reading complexity" in md
+        assert "docs at or above fog 0.1" in md
+
+    def test_block_section_text_and_md(self, small_result):
+        summary = cluster_summary(small_result.clusters, top_k=3)
+        edges = edge_summary(small_result.edges)
+        blocks = block_dup_summary(small_result.docs, block_tokens=50)
+        # the planted corpus has exact-dup docs -> their blocks repeat
+        assert blocks["n_dup_blocks"] > 0
+        assert blocks["n_copies"] >= 2 * blocks["n_dup_blocks"]
+        assert blocks["max_docs"] >= 2
+
+        text = render_text(summary, edges, blocks=blocks)
+        assert "Duplicated blocks (50 tokens):" in text
+        assert f"{blocks['n_dup_blocks']} distinct shared blocks" in text
+
+        md = render_markdown(summary, edges, blocks=blocks)
+        assert "## Duplicated blocks (50 tokens)" in md
+        assert "distinct blocks shared across" in md
+
+    def test_json_sections_roundtrip(self, small_result):
+        summary = cluster_summary(small_result.clusters, top_k=3)
+        edges = edge_summary(small_result.edges)
+        comp = complexity_summary(small_result.docs, threshold=0.1, top_k=1)
+        blocks = block_dup_summary(small_result.docs, block_tokens=50)
+        doc = json.loads(render_json(summary, edges, comp, blocks))
+        assert doc["reading_complexity"]["n_flagged"] == comp["n_flagged"]
+        assert doc["duplicated_blocks"] == blocks
+        # omitted sections stay absent (backward-compatible shape)
+        bare = json.loads(render_json(summary, edges))
+        assert "reading_complexity" not in bare
+
+    def test_empty_sections_render_empty_state(self):
+        empty = {"n_clusters": 0, "n_member_docs": 0, "n_cross_host": 0,
+                 "max_size": 0, "top_clusters": []}
+        md = render_markdown(
+            empty, {},
+            complexity={"threshold": 10.0, "n_flagged": 0,
+                        "by_severity": {}, "top": []},
+            blocks={"block_tokens": 100, "n_dup_blocks": 0, "n_copies": 0,
+                    "max_docs": 0},
+        )
+        assert "**No duplicated blocks found.**" in md
+        assert "**No high-complexity docs found.**" in md
 
 
 class TestWriteReport:

@@ -204,3 +204,69 @@ def test_within_batch_near_canonical_is_min_url(spark, tmp_path):
         f"hits={flagged}"
     )
     assert w_url not in flagged
+
+
+def test_survivor_set_has_no_near_dup_pairs(spark, tmp_path):
+    """The end-to-end guarantee behind the rep_by="url" fix (VERDICT r3 item
+    7): after a batch with several exact groups in ADVERSARIAL hash order
+    (min-url member is not the min-doc_id member) plus near partners, the
+    survivor set (docs never flagged) must contain no near-duplicate pair at
+    all — checked independently with the pure-Python shingle Jaccard, not
+    with the engine's own operators."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from replicheck_spark.functions.textnorm import (
+        normalize_text, shingle_strings, tokenize,
+    )
+    from replicheck_spark.oracle import jaccard
+    from replicheck_spark.streaming.incremental import IncrementalDedup
+
+    cands = [f"https://s.example/d{i:03d}" for i in range(200)]
+    hashed = dict(
+        spark.createDataFrame([(u,) for u in cands], "url string")
+        .select("url", F.xxhash64("url").alias("h"))
+        .collect()
+    )
+    # three exact groups, each with urls sorted ascending but doc_id order
+    # INVERTED (min url has the larger hash), each with one near partner
+    groups = []
+    used = set()
+    for u, v in itertools.combinations(cands, 2):
+        if u in used or v in used:
+            continue
+        if u < v and hashed[u] > hashed[v]:
+            groups.append((u, v))
+            used.update((u, v))
+            if len(groups) == 3:
+                break
+    assert len(groups) == 3
+    partners = [c for c in cands if c not in used][:3]
+
+    rows, texts = [], {}
+    for g, (u, v) in enumerate(groups):
+        base = " ".join(f"g{g}w{i}" for i in range(120))
+        near = " ".join([f"edit{g}"] + [f"g{g}w{i}" for i in range(1, 120)])
+        for url, text in [(u, base), (v, base), (partners[g], near)]:
+            rows.append(_row(url, text))
+            texts[url] = text
+
+    handler = IncrementalDedup(
+        spark, str(tmp_path / "store"), DedupConfig(), str(tmp_path / "hits")
+    )
+    handler.process_batch(spark.createDataFrame(pages_to_pandas(rows)), 0)
+
+    flagged = {r["url"] for r in spark.read.parquet(str(tmp_path / "hits")).collect()}
+    survivors = sorted(set(texts) - flagged)
+    # exactly one survivor per (exact group + near partner) family
+    assert len(survivors) == 3, (survivors, flagged)
+    sh = {
+        u: shingle_strings(tokenize(normalize_text(texts[u])), 5)
+        for u in survivors
+    }
+    for a, b in itertools.combinations(survivors, 2):
+        assert jaccard(sh[a], sh[b]) < 0.8, (
+            f"survivors {a} and {b} are near-duplicates — a canonical "
+            f"escaped flagging"
+        )
