@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Platform scaling-envelope microbenchmarks.
+
+Measures how two Spark *primitives* — the building blocks every stage of the
+dedup pipeline is made of — scale with local[N] parallelism on THIS host:
+
+* ``udf``: pure Arrow-batched Python compute, no shuffle
+  (``range -> pandas UDF (numpy work) -> sum``).
+* ``shuffle``: pure exchange + aggregation, no Python
+  (rows with a sha256 payload -> one hash-partitioned exchange -> count).
+
+Neither primitive contains any replicheck_spark code, so their N -> 4N
+efficiency is a property of the machine (memory bandwidth, GC, scheduler),
+not of the engine's dataflow. The full pipeline's measured efficiency is
+judged against this envelope in BENCH/BASELINE.md: a pipeline that scales as
+well as the best primitive has no composition loss left to remove.
+
+Each measurement runs in a fresh subprocess (fresh JVM), levels interleaved,
+best-of-``--repeats`` per level — same methodology as ``bench.py --scaling``.
+
+Usage::
+
+    python scripts/microbench.py --n-low 8 --n-high 32 --repeats 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_udf(spark, rows: int) -> float:
+    """range -> Arrow-batched pandas UDF doing real numpy work -> sum."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: stringified type hints break inference here
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def crunch(s: pd.Series) -> pd.Series:
+        a = s.to_numpy(dtype=np.uint64, copy=True)
+        # a few dependent passes so the batch is compute-, not transfer-bound
+        for _ in range(8):
+            a = a * np.uint64(0x9E3779B97F4A7C15) ^ (a >> np.uint64(7))
+        # mask to 20 bits so the ANSI-mode long sum cannot overflow
+        return pd.Series((a & np.uint64(0xFFFFF)).astype("int64"))
+
+    t0 = time.monotonic()
+    spark.range(rows, numPartitions=256).select(
+        F.sum(crunch(F.col("id")))
+    ).collect()
+    return time.monotonic() - t0
+
+
+def run_shuffle(spark, rows: int) -> float:
+    """JVM-only: wide rows -> one hash exchange on a high-card key -> agg."""
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    (
+        spark.range(rows, numPartitions=256)
+        .select(
+            (F.col("id") % 1_000_000).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.max("payload").alias("m"))
+        .select(F.sum("n"))
+        .collect()
+    )
+    return time.monotonic() - t0
+
+
+def main_single(args) -> None:
+    from replicheck_spark.session import get_spark
+
+    spark = get_spark(
+        f"microbench_{args.primitive}_{args.cores}",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=256,
+    )
+    fn = {"udf": run_udf, "shuffle": run_shuffle}[args.primitive]
+    fn(spark, min(args.rows, 1_000_000))  # warm JIT/codegen/worker pool
+    wall = fn(spark, args.rows)
+    print(json.dumps({"primitive": args.primitive, "cores": args.cores,
+                      "wall_sec": round(wall, 2)}))
+    spark.stop()
+
+
+def main(args) -> None:
+    def measure(primitive: str, cores: int) -> float:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single",
+             "--primitive", primitive, "--cores", str(cores),
+             "--rows", str(args.rows)],
+            capture_output=True, text=True,
+            env={**os.environ, "PYTHONPATH": REPO},
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)["wall_sec"]
+
+    lo, hi = args.n_low, args.n_high
+    out = {}
+    primitives = (args.only,) if args.only else ("udf", "shuffle")
+    for primitive in primitives:
+        walls: dict[int, list[float]] = {lo: [], hi: []}
+        order = [lo, hi, hi, lo, lo, hi][: 2 * args.repeats]
+        for cores in order:
+            w = measure(primitive, cores)
+            walls[cores].append(w)
+            print(f"[microbench] {primitive} local[{cores}]: {w:.2f}s",
+                  flush=True)
+        eff = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
+        out[primitive] = {
+            f"local[{lo}]": min(walls[lo]),
+            f"local[{hi}]": min(walls[hi]),
+            "all_walls": walls,
+            "efficiency": round(eff, 3),
+        }
+    print(json.dumps({"rows": args.rows, "n_low": lo, "n_high": hi, **out}))
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--single", action="store_true")
+    p.add_argument("--primitive", choices=["udf", "shuffle"])
+    p.add_argument("--only", choices=["udf", "shuffle"],
+                   help="run just one primitive (lets each use its own --rows)")
+    p.add_argument("--cores", type=int, default=8)
+    p.add_argument("--rows", type=int, default=64_000_000)
+    p.add_argument("--n-low", type=int, default=8)
+    p.add_argument("--n-high", type=int, default=32)
+    p.add_argument("--repeats", type=int, default=2)
+    a = p.parse_args()
+    if a.single:
+        main_single(a)
+    else:
+        main(a)
