@@ -150,3 +150,35 @@ class TestDeterminismAndResume:
         ).count()
         assert n_docs_rows2 == 1  # no recompute, no extra metrics appended
         assert os.path.exists(os.path.join(ckpt, "r", "labels", "_SUCCESS"))
+
+    def test_resume_from_pre_rep_schema_checkpoint(
+        self, spark, pages_small, tmp_path_factory
+    ):
+        """A checkpoint whose exact_groups predates the rep_id/rep_url columns
+        (written by the pre-fused pipeline) must still resume: exact_edges
+        falls back to the self-contained star-edge aggregation instead of
+        failing with AnalysisException on the missing columns, and the final
+        clusters are identical."""
+        import os
+        import shutil
+
+        pages, _, _ = pages_small
+        ckpt = str(tmp_path_factory.mktemp("ckpt_legacy"))
+        full = run_dedup(spark, pages, CFG, ckpt, run_id="r")
+        baseline = sorted(
+            tuple(r["member_urls"]) for r in full.clusters.collect()
+        )
+        # rewrite exact_groups in the legacy schema (no rep columns); write
+        # aside then swap — Spark cannot overwrite a path it is reading
+        gpath = os.path.join(ckpt, "r", "exact_groups")
+        legacy = spark.read.parquet(gpath).drop("rep_id", "rep_url")
+        legacy.write.mode("overwrite").parquet(gpath + ".legacy")
+        shutil.rmtree(gpath)
+        os.rename(gpath + ".legacy", gpath)
+        # drop every stage downstream of exact_groups so they rebuild from it
+        for stage in ("exact_edges", "edges", "labels", "clusters"):
+            shutil.rmtree(os.path.join(ckpt, "r", stage), ignore_errors=True)
+
+        resumed = run_dedup(spark, pages, CFG, ckpt, run_id="r")
+        got = sorted(tuple(r["member_urls"]) for r in resumed.clusters.collect())
+        assert got == baseline
