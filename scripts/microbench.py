@@ -60,6 +60,39 @@ def run_udf(spark, rows: int) -> float:
     return time.monotonic() - t0
 
 
+def run_udftext(spark, rows: int) -> float:
+    """Payload-heavy Arrow UDF: ~1 KB synthetic text per row through the
+    Python worker (tokenize-ish string work), the traffic pattern of the
+    pipeline's extraction/signature stages — unlike ``udf``, which moves only
+    8-byte ids and therefore measures compute scaling at near-zero memory
+    traffic."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def toklen(s: pd.Series) -> pd.Series:
+        # one flattened byte buffer per Arrow batch, then vectorized numpy
+        # passes over it — the batched-flat pattern of the signature UDF
+        joined = np.frombuffer("\n".join(s.tolist()).encode(), dtype=np.uint8)
+        acc = joined.astype(np.uint64)
+        for _ in range(4):
+            acc = acc * np.uint64(0x9E3779B97F4A7C15) ^ (acc >> np.uint64(7))
+        val = int((acc & np.uint64(0xFFFF)).sum() % 0xFFFF)
+        return pd.Series(np.full(len(s), val, dtype="int64"))
+
+    text = F.concat_ws(
+        " ", *[F.concat(F.lit("tok"), (F.col("id") + F.lit(i)).cast("string"))
+               for i in range(96)]
+    )
+    t0 = time.monotonic()
+    spark.range(rows, numPartitions=256).select(
+        F.sum(toklen(text))
+    ).collect()
+    return time.monotonic() - t0
+
+
 def run_shuffle(spark, rows: int) -> float:
     """JVM-only: wide rows -> one hash exchange on a high-card key -> agg."""
     from pyspark.sql import functions as F
@@ -87,7 +120,8 @@ def main_single(args) -> None:
         master=f"local[{args.cores}]",
         shuffle_partitions=256,
     )
-    fn = {"udf": run_udf, "shuffle": run_shuffle}[args.primitive]
+    fn = {"udf": run_udf, "udftext": run_udftext,
+          "shuffle": run_shuffle}[args.primitive]
     fn(spark, min(args.rows, 1_000_000))  # warm JIT/codegen/worker pool
     wall = fn(spark, args.rows)
     print(json.dumps({"primitive": args.primitive, "cores": args.cores,
@@ -131,8 +165,8 @@ def main(args) -> None:
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--single", action="store_true")
-    p.add_argument("--primitive", choices=["udf", "shuffle"])
-    p.add_argument("--only", choices=["udf", "shuffle"],
+    p.add_argument("--primitive", choices=["udf", "udftext", "shuffle"])
+    p.add_argument("--only", choices=["udf", "udftext", "shuffle"],
                    help="run just one primitive (lets each use its own --rows)")
     p.add_argument("--cores", type=int, default=8)
     p.add_argument("--rows", type=int, default=64_000_000)
