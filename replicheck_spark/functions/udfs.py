@@ -45,10 +45,19 @@ extract_normalize = _extract_normalize.asNondeterministic()
 
 
 def signature_schema() -> T.StructType:
-    # shingles ARE materialized as int64 hash arrays: the downstream Jaccard
-    # confirm is then a JVM array_intersect on longs (measured ~20x faster
-    # than rebuilding string shingles with interpreted higher-order
-    # expressions at confirm time).
+    # shingles ARE materialized as hash arrays: the downstream Jaccard
+    # confirm is then a JVM array_intersect (measured ~20x faster than
+    # rebuilding string shingles with interpreted higher-order expressions at
+    # confirm time). Stored as the LOW 32 BITS of the 64-bit shingle hash:
+    # equality tests are all any consumer does (Jaccard intersect, substring
+    # anchor mod-q sampling), and the column dominates signature volume
+    # (measured 86% of the stage's parquet bytes at int64) — truncation
+    # halves the widest column through Arrow, checkpoint and the confirm
+    # shuffle. Collision cost: two distinct shingles of a doc pair colliding
+    # can only MERGE set elements, which never lowers Jaccard below
+    # threshold (recall preserved); the expected perturbation is
+    # |A||B|/2^32 ~ 1e-4 for kilotoken docs. MinHash/SimHash/bands still
+    # consume the full 64-bit hashes inside the UDF.
     #
     # The raw 128-perm minhash matrix is NOT shipped: bands are derived from
     # it inside the UDF and nothing downstream reads the raw values — at 1 KB
@@ -56,7 +65,7 @@ def signature_schema() -> T.StructType:
     # volume (1 PB of dead weight at 10^12 docs).
     return T.StructType(
         [
-            T.StructField("shingles", T.ArrayType(T.LongType()), False),
+            T.StructField("shingles", T.ArrayType(T.IntegerType()), False),
             T.StructField("simhash", T.LongType(), False),
             T.StructField("bands", T.ArrayType(T.LongType()), False),
         ]
@@ -85,12 +94,13 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
         b = mh.band_hashes(m, bands, rows)                  # (n, bands) uint64
         b64 = b.astype(np.int64)
         s64 = s.astype(np.int64)
-        sh64 = flat_sh.astype(np.int64)
+        # low 32 bits, bit-pattern-preserving signed view (IntegerType)
+        sh32 = flat_sh.astype(np.uint32).view(np.int32)
         n = len(token_lists)
         return pd.DataFrame(
             {
                 "shingles": [
-                    sh64[sh_off[i] : sh_off[i + 1]] for i in range(n)
+                    sh32[sh_off[i] : sh_off[i + 1]] for i in range(n)
                 ],
                 "simhash": s64.tolist(),
                 "bands": [b64[i] for i in range(n)],
@@ -106,16 +116,18 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
 def make_shingle_hash_udf(shingle_k: int):
     """Lean signature for stages that only need the distinct shingle-hash
     array (e.g. substring anchor sampling) — skips the MinHash/SimHash/band
-    work of make_signature_udf."""
+    work of make_signature_udf. Same low-32-bit truncation as
+    signature_schema so anchors join consistently against stored
+    signatures."""
 
-    @pandas_udf(T.ArrayType(T.LongType()))
+    @pandas_udf(T.ArrayType(T.IntegerType()))
     def shingles(text: pd.Series) -> pd.Series:
         token_lists = [tokenize(t) if t else [] for t in text.tolist()]
         flat_tok, tok_off = hashing.hash_token_lists(token_lists)
         flat_sh, sh_off = hashing.shingle_hashes_flat(flat_tok, tok_off, shingle_k)
-        sh64 = flat_sh.astype(np.int64)
+        sh32 = flat_sh.astype(np.uint32).view(np.int32)
         return pd.Series(
-            [sh64[sh_off[i] : sh_off[i + 1]] for i in range(len(token_lists))]
+            [sh32[sh_off[i] : sh_off[i + 1]] for i in range(len(token_lists))]
         )
 
     return shingles.asNondeterministic()

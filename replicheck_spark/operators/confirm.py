@@ -1,15 +1,19 @@
 """Stage CONFIRM: candidate pairs -> confirmed edges.
 
 Exact Jaccard over the stored distinct shingle-HASH arrays, entirely
-JVM-side: ``size(array_intersect)/size(array_union)`` on int64 arrays. A
-semi-join prune runs first so only docs that appear in a candidate pair
-shuffle their shingle arrays. SimHash Hamming distance (``bit_count(xor)``)
-rides along as the fast-path metric.
+JVM-side: ``size(array_intersect)/size(array_union)``. A semi-join prune
+runs first so only docs that appear in a candidate pair shuffle their
+shingle arrays. SimHash Hamming distance (``bit_count(xor)``) rides along as
+the fast-path metric.
 
-Hash-set Jaccard equals string-shingle Jaccard unless two distinct shingles
-of the same doc pair collide in 64 bits (~1e-15 per pair) — and it is ~20x
-faster than rebuilding string shingles at confirm time with interpreted
-higher-order expressions (measured 2.5s vs 49.5s on a 20k-doc corpus).
+Hash-set Jaccard equals string-shingle Jaccard up to 32-bit collisions
+(stored shingles are the low 32 bits of the 64-bit hash — see
+``signature_schema``): a collision can only merge elements, which never
+lowers Jaccard below threshold (recall preserved); expected perturbation
+|A||B|/2^32 ~ 1e-4 for kilotoken docs. The hash-array form is ~20x faster
+than rebuilding string shingles at confirm time with interpreted
+higher-order expressions (measured 2.5s vs 49.5s on a 20k-doc corpus), and
+the 32-bit width halves the dominant column of the confirm shuffle.
 
 Threshold semantics = the reference's documented-but-unshipped pairwise
 Jaccard at min_similarity (/root/reference/Project.md:50,66; default 0.8 at

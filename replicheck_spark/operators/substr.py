@@ -157,7 +157,7 @@ def anchor_pairs(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """-> (cand(a, b), capped(anchor, overflow), stats(rows, overflow)) via
     deterministic anchor sampling over the stored distinct shingle-hash
-    arrays (pmod on int64, JVM-side).
+    arrays (pmod on the stored 32-bit hashes, JVM-side).
 
     Anchor density: a fraction 1/q of ALL corpus shingles enters the inverted
     index, with q = max(1, (L-k+1) // cfg.substr_anchors_expected). At the
