@@ -68,5 +68,15 @@ class DedupConfig:
                 f"{self.substr_anchors_expected}"
             )
 
+    def anchor_modulus(self) -> int:
+        """Substring anchor sampling modulus q: a shingle is an anchor iff
+        its 64-bit hash ≡ 0 (mod q), giving ~substr_anchors_expected anchors
+        per qualifying run of substr_min_tokens tokens. Computed here because
+        BOTH the signature UDF (which materializes the 64-bit anchor subset)
+        and anchor_pairs' legacy fallback (which filters stored shingle
+        arrays) must use the identical q."""
+        need = self.substr_min_tokens - self.shingle_k + 1
+        return max(1, need // self.substr_anchors_expected)
+
     def to_dict(self) -> dict:
         return asdict(self)

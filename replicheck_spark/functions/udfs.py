@@ -59,6 +59,15 @@ def signature_schema() -> T.StructType:
     # |A||B|/2^32 ~ 1e-4 for kilotoken docs. MinHash/SimHash/bands still
     # consume the full 64-bit hashes inside the UDF.
     #
+    # anchors (the ≡0 mod q subset used by the substring stage) stay 64-BIT:
+    # unlike the per-pair Jaccard set ops, anchors are GLOBAL groupBy keys —
+    # at 10^12 docs a 2^32 key space would merge ~25+ unrelated shingle
+    # values per bucket, inflating anchor buckets quadratically and evicting
+    # real members at bucket_cap (recall loss). Band keys stay 64-bit for
+    # the same reason. Only ~1/q of shingles are anchors, so the extra
+    # column costs ~q-times less than the 4 bytes/shingle the truncation
+    # saves.
+    #
     # The raw 128-perm minhash matrix is NOT shipped: bands are derived from
     # it inside the UDF and nothing downstream reads the raw values — at 1 KB
     # per doc the column was ~30% of the signature stage's Arrow + parquet
@@ -66,14 +75,18 @@ def signature_schema() -> T.StructType:
     return T.StructType(
         [
             T.StructField("shingles", T.ArrayType(T.IntegerType()), False),
+            T.StructField("anchors", T.ArrayType(T.LongType()), False),
             T.StructField("simhash", T.LongType(), False),
             T.StructField("bands", T.ArrayType(T.LongType()), False),
         ]
     )
 
 
-def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, seed: int):
-    """Build the one-pass signature UDF: norm_text -> (shingles, minhash,
+def make_signature_udf(
+    shingle_k: int, num_perm: int, bands: int, rows: int, seed: int,
+    anchor_q: int = 1,
+):
+    """Build the one-pass signature UDF: norm_text -> (shingles, anchors,
     simhash, band hashes).
 
     One tokenize + one flattened-batch numpy pass per Arrow batch. Coefficients
@@ -81,6 +94,10 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
     in the closure — every executor uses the identical matrix (no runtime RNG).
     uint64 values are reinterpreted as signed int64 for Spark LongType (bit
     pattern preserved; downstream comparisons only ever test equality).
+
+    ``anchor_q``: substring anchor modulus (``DedupConfig.anchor_modulus()``);
+    shingles whose SIGNED-int64 value ≡ 0 (mod q, floored — identical to
+    Spark's ``pmod``) are materialized 64-bit in ``anchors``.
     """
     coeffs = mh.make_coeffs(num_perm, seed)
 
@@ -96,11 +113,21 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
         s64 = s.astype(np.int64)
         # low 32 bits, bit-pattern-preserving signed view (IntegerType)
         sh32 = flat_sh.astype(np.uint32).view(np.int32)
+        sh64 = flat_sh.view(np.int64)
+        # numpy's % is floored like Spark's pmod, so this selection is
+        # bit-identical to the legacy F.pmod(shingle, q) == 0 filter
+        is_anchor = (sh64 % anchor_q) == 0
         n = len(token_lists)
         return pd.DataFrame(
             {
                 "shingles": [
                     sh32[sh_off[i] : sh_off[i + 1]] for i in range(n)
+                ],
+                "anchors": [
+                    sh64[sh_off[i] : sh_off[i + 1]][
+                        is_anchor[sh_off[i] : sh_off[i + 1]]
+                    ]
+                    for i in range(n)
                 ],
                 "simhash": s64.tolist(),
                 "bands": [b64[i] for i in range(n)],
@@ -113,24 +140,29 @@ def make_signature_udf(shingle_k: int, num_perm: int, bands: int, rows: int, see
     return signature.asNondeterministic()
 
 
-def make_shingle_hash_udf(shingle_k: int):
-    """Lean signature for stages that only need the distinct shingle-hash
-    array (e.g. substring anchor sampling) — skips the MinHash/SimHash/band
-    work of make_signature_udf. Same low-32-bit truncation as
-    signature_schema so anchors join consistently against stored
-    signatures."""
+def make_anchor_hash_udf(shingle_k: int, anchor_q: int):
+    """Lean signature for stages that only need the 64-bit substring-anchor
+    subset (shingle hashes ≡ 0 mod ``anchor_q``) — skips the
+    MinHash/SimHash/band work of make_signature_udf. Anchors stay 64-bit:
+    they are global groupBy keys (see signature_schema)."""
 
-    @pandas_udf(T.ArrayType(T.IntegerType()))
-    def shingles(text: pd.Series) -> pd.Series:
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def anchors(text: pd.Series) -> pd.Series:
         token_lists = [tokenize(t) if t else [] for t in text.tolist()]
         flat_tok, tok_off = hashing.hash_token_lists(token_lists)
         flat_sh, sh_off = hashing.shingle_hashes_flat(flat_tok, tok_off, shingle_k)
-        sh32 = flat_sh.astype(np.uint32).view(np.int32)
+        sh64 = flat_sh.view(np.int64)
+        is_anchor = (sh64 % anchor_q) == 0
         return pd.Series(
-            [sh32[sh_off[i] : sh_off[i + 1]] for i in range(len(token_lists))]
+            [
+                sh64[sh_off[i] : sh_off[i + 1]][
+                    is_anchor[sh_off[i] : sh_off[i + 1]]
+                ]
+                for i in range(len(token_lists))
+            ]
         )
 
-    return shingles.asNondeterministic()
+    return anchors.asNondeterministic()
 
 
 def hamming64_col(a, b):

@@ -1,5 +1,5 @@
 """Stage SIGN: docs -> signatures(doc_id, url, host, n_tokens, sha256,
-shingles, simhash, bands).
+shingles, anchors, simhash, bands).
 
 One Arrow exchange per batch: the signature pandas UDF computes shingle
 hashes, 128-perm MinHash, 64-bit SimHash and the LSH band keys in a single
@@ -18,7 +18,8 @@ from replicheck_spark.functions.udfs import make_signature_udf
 
 def compute_signatures(elig: DataFrame, cfg: DedupConfig) -> DataFrame:
     sig = make_signature_udf(
-        cfg.shingle_k, cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.seed
+        cfg.shingle_k, cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.seed,
+        anchor_q=cfg.anchor_modulus(),
     )
     return (
         elig.select(
@@ -28,6 +29,7 @@ def compute_signatures(elig: DataFrame, cfg: DedupConfig) -> DataFrame:
         .select(
             "doc_id", "url", "host", "n_tokens", "sha256",
             F.col("sig.shingles").alias("shingles"),
+            F.col("sig.anchors").alias("anchors"),
             F.col("sig.simhash").alias("simhash"),
             F.col("sig.bands").alias("bands"),
         )

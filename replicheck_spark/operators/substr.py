@@ -175,15 +175,24 @@ def anchor_pairs(
     partitions (the pipeline's drain pattern — df.observe cannot be used
     here, see operators/lsh.py candidate_pairs).
     """
-    need = cfg.substr_min_tokens - cfg.shingle_k + 1
-    q = max(1, need // cfg.substr_anchors_expected)
-    anchors = signatures.select(
-        "doc_id",
-        "sha256",
-        F.explode(
-            F.filter(F.col("shingles"), lambda s: F.pmod(s, F.lit(q)) == 0)
-        ).alias("anchor"),
-    )
+    q = cfg.anchor_modulus()
+    if "anchors" in signatures.columns:
+        # 64-bit anchor subset materialized by the signature UDF — full key
+        # entropy for the GLOBAL anchor groupBy (the stored shingles column
+        # is 32-bit, wide enough only for per-pair set ops)
+        anchors = signatures.select(
+            "doc_id", "sha256", F.explode("anchors").alias("anchor")
+        )
+    else:
+        # legacy checkpoint resume path: pre-anchors signatures carry 64-bit
+        # shingle arrays; the same q selects the identical anchor set
+        anchors = signatures.select(
+            "doc_id",
+            "sha256",
+            F.explode(
+                F.filter(F.col("shingles"), lambda s: F.pmod(s, F.lit(q)) == 0)
+            ).alias("anchor"),
+        )
     # identical docs already linked by the exact stage: one rep per sha256
     anchors = anchors.groupBy("anchor", "sha256").agg(F.min("doc_id").alias("doc_id"))
     buckets = (
@@ -322,15 +331,15 @@ def substr_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     pair). Representative-level pairs are expanded back to all members of
     each identical-text group, mirroring minhash_lsh_pairs.
     """
-    from replicheck_spark.functions.udfs import make_shingle_hash_udf
+    from replicheck_spark.functions.udfs import make_anchor_hash_udf
     from replicheck_spark.operators.dedup_ops import _expand_exact_members
 
-    sh_udf = make_shingle_hash_udf(cfg.shingle_k)
+    a_udf = make_anchor_hash_udf(cfg.shingle_k, cfg.anchor_modulus())
     sigs = docs.select(
         "doc_id",
         F.col("doc_id").cast("string").alias("url"),
         F.sha2("text", 256).alias("sha256"),
-        sh_udf(F.col("text")).alias("shingles"),
+        a_udf(F.col("text")).alias("anchors"),
     ).localCheckpoint(eager=False)  # consumed by anchor + expansion branches
     cand, _capped, _stats = anchor_pairs(sigs, cfg)
     d = docs.select(

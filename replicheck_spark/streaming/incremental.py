@@ -20,7 +20,11 @@ byte-identically and never matches a doc against its own failed attempt.
 
 State lives in a parquet (prod: Iceberg) directory, so the stream restarts
 idempotently from its own checkpoint + the store — the streaming face of the
-batch pipeline's resume contract. Watermarking is not required: dedup state is
+batch pipeline's resume contract. The store schema is the signature schema
+verbatim; a store written before the 32-bit shingle change (array<long>
+shingles, no anchors column) cannot be unioned with new batches — restart
+such a stream with a fresh store (signatures are derivable from the pages
+source, nothing is lost). Watermarking is not required: dedup state is
 append-only by design (late data simply dedups against a larger store), which
 is why this stays foreachBatch instead of applyInPandasWithState.
 """

@@ -275,6 +275,52 @@ class TestSubstr:
         assert edges[0]["run_tokens"] == 80
         assert edges[0]["kind"] == "substr"
 
+    def test_anchor_legacy_fallback_matches_anchors_column(self, spark):
+        """A signatures checkpoint written before the 32-bit shingle change
+        has 64-bit shingle arrays and no anchors column; anchor_pairs must
+        fall back to the pmod filter over them and select the IDENTICAL
+        candidate set (same q, same floored-mod semantics)."""
+        shared = [f"s{i}" for i in range(80)]
+        a = [f"a{i}" for i in range(150)] + shared + [f"aa{i}" for i in range(150)]
+        b = [f"b{i}" for i in range(150)] + shared + [f"bb{i}" for i in range(150)]
+        c = [f"c{i}" for i in range(300)]
+        pdf = spark.createDataFrame(
+            [
+                ("https://a.example/1", None, None, " ".join(a), "en"),
+                ("https://b.example/2", None, None, " ".join(b), "en"),
+                ("https://c.example/3", None, None, " ".join(c), "en"),
+            ],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        sigs = compute_signatures(
+            eligible_docs(extract_docs(pdf), 50), CFG
+        ).collect()
+        # legacy frame: 64-bit shingles (recomputed from the tokens — the
+        # stored 32-bit column cannot be widened back), no anchors column
+        toks_of = {
+            "https://a.example/1": a,
+            "https://b.example/2": b,
+            "https://c.example/3": c,
+        }
+        legacy_rows = []
+        for r in sigs:
+            sh64 = hashing.shingle_hash_set(
+                toks_of[r["url"]], CFG.shingle_k
+            ).view(np.int64)
+            legacy_rows.append((r["doc_id"], r["sha256"], sh64.tolist()))
+        legacy = spark.createDataFrame(
+            legacy_rows, "doc_id long, sha256 string, shingles array<long>"
+        )
+        modern = spark.createDataFrame(
+            [(r["doc_id"], r["sha256"], r["anchors"]) for r in sigs],
+            "doc_id long, sha256 string, anchors array<long>",
+        )
+        cand_legacy, _, _ = anchor_pairs(legacy, CFG)
+        cand_modern, _, _ = anchor_pairs(modern, CFG)
+        got = sorted((r["a"], r["b"]) for r in cand_legacy.collect())
+        want = sorted((r["a"], r["b"]) for r in cand_modern.collect())
+        assert got == want and len(want) >= 1
+
 
 class TestReadingComplexity:
     def test_hand_computed_fog_and_severity(self, spark):
