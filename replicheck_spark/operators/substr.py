@@ -152,6 +152,30 @@ def longest_common_run_hashed(
     )
 
 
+def anchor_index(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(doc_id, sha256, anchor) — the inverted-index rows.
+
+    Reads the 64-bit ``anchors`` column materialized by the signature UDF
+    (full key entropy for the GLOBAL anchor groupBy; the stored 32-bit
+    shingles are wide enough only for per-pair set ops, and column pruning
+    keeps them out of this scan — plan-asserted in tests/test_plans.py).
+    Signatures checkpointed before the anchors column exist carry 64-bit
+    shingle arrays instead; the same modulus selects the identical anchor
+    set from them."""
+    if "anchors" in signatures.columns:
+        return signatures.select(
+            "doc_id", "sha256", F.explode("anchors").alias("anchor")
+        )
+    q = cfg.anchor_modulus()
+    return signatures.select(
+        "doc_id",
+        "sha256",
+        F.explode(
+            F.filter(F.col("shingles"), lambda s: F.pmod(s, F.lit(q)) == 0)
+        ).alias("anchor"),
+    )
+
+
 def anchor_pairs(
     signatures: DataFrame, cfg: DedupConfig, bucket_cap: int = 64,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -175,24 +199,7 @@ def anchor_pairs(
     partitions (the pipeline's drain pattern — df.observe cannot be used
     here, see operators/lsh.py candidate_pairs).
     """
-    q = cfg.anchor_modulus()
-    if "anchors" in signatures.columns:
-        # 64-bit anchor subset materialized by the signature UDF — full key
-        # entropy for the GLOBAL anchor groupBy (the stored shingles column
-        # is 32-bit, wide enough only for per-pair set ops)
-        anchors = signatures.select(
-            "doc_id", "sha256", F.explode("anchors").alias("anchor")
-        )
-    else:
-        # legacy checkpoint resume path: pre-anchors signatures carry 64-bit
-        # shingle arrays; the same q selects the identical anchor set
-        anchors = signatures.select(
-            "doc_id",
-            "sha256",
-            F.explode(
-                F.filter(F.col("shingles"), lambda s: F.pmod(s, F.lit(q)) == 0)
-            ).alias("anchor"),
-        )
+    anchors = anchor_index(signatures, cfg)
     # identical docs already linked by the exact stage: one rep per sha256
     anchors = anchors.groupBy("anchor", "sha256").agg(F.min("doc_id").alias("doc_id"))
     buckets = (
