@@ -134,6 +134,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=4, n_tables=16,
         )
 
+    def q_knn_ivf(spark, sf):
+        # IVF coarse-quantizer ANN (second scale path next to knn_lsh):
+        # approximate by construction -> rows-only driver check; recall on
+        # clustered data + full-probe brute-force equivalence gated in
+        # tests/test_similarity_recall.py
+        return similarity.knn_ivf(
+            _t(spark, sf, "embeddings"), n_queries=10, k=5,
+            n_cells=16, nprobe=8,
+        )
+
     def q_embedding_dup_pairs(spark, sf):
         return similarity.embedding_dup_pairs(_t(spark, sf, "embeddings"), 0.95)
 
@@ -227,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_near_doc_pairs": q_block_near_doc_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
+        "knn_ivf": q_knn_ivf,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_stats": q_media_stats,
         "media_features": q_media_features,

@@ -36,6 +36,76 @@ def test_knn_lsh_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.9, f"knn_lsh recall@5 {recall:.3f} < 0.9"
 
 
+def test_knn_ivf_recall_on_clustered_data(spark):
+    """IVF's contract is high recall on CLUSTERED embeddings while scanning
+    only nprobe/n_cells of the corpus — that is the regime real embedding
+    corpora inhabit and the regime the quantizer exploits. Mixture-of-
+    Gaussians data (16 planted clusters), probing 4/16 cells (25% scan):
+    recall@5 must still be >= 0.9. (On near-uniform random vectors, e.g. the
+    sf0.001 fixture, top-5 cosine neighbors are marginal and genuinely
+    scatter across any partition of the space — no IVF can beat the
+    nprobe/n_cells baseline there; that regime is covered by the full-probe
+    equivalence test below.)"""
+    import numpy as np
+
+    from replicheck_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, 32, axis=0) + 0.15 * rng.normal(size=(512, 64))
+    rows = [(i, [float(x) for x in X[i]], int(i // 32)) for i in range(512)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.knn_ivf(
+            emb, n_queries=10, k=5, n_cells=16, nprobe=4
+        ).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.9, f"knn_ivf recall@5 {recall:.3f} < 0.9 at 25% scan"
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(spark, emb):
+    """Graceful degradation: with nprobe == n_cells every query probes every
+    cell, so IVF must return EXACTLY the brute-force top-k — on any data,
+    including the near-uniform sf fixture."""
+    from replicheck_spark.operators import similarity
+
+    bf = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()
+    )
+    ivf = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.knn_ivf(
+            emb, n_queries=10, k=5, n_cells=16, nprobe=16
+        ).collect()
+    )
+    assert ivf == bf
+
+
+def test_knn_ivf_deterministic(spark, emb):
+    """Same input -> same neighbor sets on repeated builds: centroid training
+    uses the xxhash64-ordered sample and a fixed seed, no runtime RNG."""
+    from replicheck_spark.operators import similarity
+
+    def run():
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in similarity.knn_ivf(emb, n_queries=5, k=3).collect()
+        )
+
+    assert run() == run()
+
+
 def test_lsh_bucket_truncation_is_metered(spark, emb):
     """A tiny bucket_cap MUST surface overflow in the capped frame — silent
     truncation makes recall loss unattributable."""
