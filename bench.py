@@ -219,15 +219,25 @@ def main_scaling(args) -> None:
             env={**os.environ,
                  "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
         )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        return json.loads(line)["wall_sec"]
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scaling child failed (local[{cores}], rc={proc.returncode}"
+                f"):\n{proc.stderr[-2000:]}"
+            )
+        return json.loads(lines[-1])["wall_sec"]
 
     # The sandbox host has noisy neighbors (identical runs measured 3x
     # apart); interleave repeats and keep the BEST wall per level — min over
-    # repeats estimates the uninterfered machine.
+    # repeats estimates the uninterfered machine. Alternating block order
+    # (lo-hi, hi-lo, ...) supports any repeat count.
     walls: dict[int, list[float]] = {args.n_low: [], args.n_high: []}
-    order = [args.n_low, args.n_high, args.n_high, args.n_low, args.n_low,
-             args.n_high][: 2 * args.repeats]
+    order = [
+        c
+        for i in range(args.repeats)
+        for c in ([args.n_low, args.n_high] if i % 2 == 0
+                  else [args.n_high, args.n_low])
+    ]
     for i, cores in enumerate(order):
         w = measure(cores, f"r{i}c{cores}")
         walls[cores].append(w)

@@ -53,11 +53,15 @@ def signature_schema() -> T.StructType:
     # anchor mod-q sampling), and the column dominates signature volume
     # (measured 86% of the stage's parquet bytes at int64) — truncation
     # halves the widest column through Arrow, checkpoint and the confirm
-    # shuffle. Collision cost: two distinct shingles of a doc pair colliding
-    # can only MERGE set elements, which never lowers Jaccard below
-    # threshold (recall preserved); the expected perturbation is
-    # |A||B|/2^32 ~ 1e-4 for kilotoken docs. MinHash/SimHash/bands still
-    # consume the full 64-bit hashes inside the UDF.
+    # shuffle. Collision cost: a collision between a shingle of A and a
+    # different shingle of B grows the intersection (J up); a collision
+    # between two SHARED shingles shrinks intersection and union together
+    # ((i-1)/(u-1) < i/u, J down). Either way the perturbation is
+    # O(|A||B|/2^32) ~ 1e-4 for kilotoken docs, and only a pair sitting
+    # within that distance of the threshold can flip — probability
+    # ~C(i,2)/2^32 per pair, immaterial to the 0.99 recall target (keep
+    # planted fixtures clear of the exact threshold). MinHash/SimHash/bands
+    # still consume the full 64-bit hashes inside the UDF.
     #
     # anchors (the ≡0 mod q subset used by the substring stage) stay 64-BIT:
     # unlike the per-pair Jaccard set ops, anchors are GLOBAL groupBy keys —
@@ -84,7 +88,7 @@ def signature_schema() -> T.StructType:
 
 def make_signature_udf(
     shingle_k: int, num_perm: int, bands: int, rows: int, seed: int,
-    anchor_q: int = 1,
+    anchor_q: int = 0,
 ):
     """Build the one-pass signature UDF: norm_text -> (shingles, anchors,
     simhash, band hashes).
@@ -97,7 +101,11 @@ def make_signature_udf(
 
     ``anchor_q``: substring anchor modulus (``DedupConfig.anchor_modulus()``);
     shingles whose SIGNED-int64 value ≡ 0 (mod q, floored — identical to
-    Spark's ``pmod``) are materialized 64-bit in ``anchors``.
+    Spark's ``pmod``) are materialized 64-bit in ``anchors``. The default 0
+    means "caller never runs the substring stage": anchors are emitted EMPTY
+    rather than as a full 64-bit shingle copy (anchor_q=1 would select every
+    shingle — 1.5x the pre-split Arrow volume for operators that then drop
+    the column).
     """
     coeffs = mh.make_coeffs(num_perm, seed)
 
@@ -116,7 +124,10 @@ def make_signature_udf(
         sh64 = flat_sh.view(np.int64)
         # numpy's % is floored like Spark's pmod, so this selection is
         # bit-identical to the legacy F.pmod(shingle, q) == 0 filter
-        is_anchor = (sh64 % anchor_q) == 0
+        if anchor_q > 0:
+            is_anchor = (sh64 % anchor_q) == 0
+        else:
+            is_anchor = np.zeros(len(sh64), dtype=bool)
         n = len(token_lists)
         return pd.DataFrame(
             {

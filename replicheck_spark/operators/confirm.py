@@ -8,9 +8,10 @@ the fast-path metric.
 
 Hash-set Jaccard equals string-shingle Jaccard up to 32-bit collisions
 (stored shingles are the low 32 bits of the 64-bit hash — see
-``signature_schema``): a collision can only merge elements, which never
-lowers Jaccard below threshold (recall preserved); expected perturbation
-|A||B|/2^32 ~ 1e-4 for kilotoken docs. The hash-array form is ~20x faster
+``signature_schema``): collisions perturb J by O(|A||B|/2^32) ~ 1e-4 for
+kilotoken docs, in either direction (cross-doc collisions raise it, a
+collision between two shared shingles lowers it slightly), so only a pair
+within ~1e-4 of the threshold can flip. The hash-array form is ~20x faster
 than rebuilding string shingles at confirm time with interpreted
 higher-order expressions (measured 2.5s vs 49.5s on a 20k-doc corpus), and
 the 32-bit width halves the dominant column of the confirm shuffle.

@@ -52,10 +52,13 @@ def complexity_summary(
     flagged docs plus the top-k worst, both bounded collects."""
     from replicheck_spark.operators.textops import reading_complexity
 
+    # lazy checkpoint: the severity agg and the top-k collect below would
+    # otherwise each recompute the full fog scan (regex sentence/word pass
+    # over every doc) — one materialization shared by both jobs
     flagged = reading_complexity(
         docs.select("doc_id", F.col("norm_text").alias("text")),
         threshold=threshold,
-    )
+    ).localCheckpoint(eager=False)
     by_sev = {
         r["severity"]: r["n"]
         for r in flagged.groupBy("severity").agg(F.count("*").alias("n")).collect()

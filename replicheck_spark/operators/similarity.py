@@ -98,13 +98,27 @@ def embedding_dup_pairs(
     import pandas as pd
     from pyspark.sql import types as T
 
+    def _zero_observe(df: DataFrame) -> DataFrame:
+        # The broadcast path has no buckets and therefore no truncation, but
+        # a caller that passed an Observation will drain it after the action
+        # — attach a constant-zero overflow_total so Observation.get resolves
+        # instead of blocking forever on a plan it was never part of.
+        if observation is None:
+            return df
+        return df.observe(
+            observation,
+            F.coalesce(F.sum(F.lit(0)), F.lit(0)).alias("overflow_total"),
+        )
+
     # Path decision: count(*) alone stays on parquet's metadata fast path
     # (no column read); dim comes from ONE row. The former single
     # agg(count, first(size(embedding))) forced a full scan of the array
     # column — the whole table read once just to pick a branch.
     n = emb.count()
     if n == 0:
-        return emb.sparkSession.createDataFrame([], "a long, b long")
+        return _zero_observe(
+            emb.sparkSession.createDataFrame([], "a long, b long")
+        )
     dim_row = emb.select(F.size("embedding").alias("d")).head(1)
     dim = dim_row[0]["d"]
     if n * dim * 8 > broadcast_bytes_limit:
@@ -161,7 +175,9 @@ def embedding_dup_pairs(
                 out_b.extend(int(h) for h in hits)
             yield pd.DataFrame({"a": out_a, "b": out_b})
 
-    return emb.select("vec_id", "embedding").mapInPandas(chunk, schema=schema)
+    return _zero_observe(
+        emb.select("vec_id", "embedding").mapInPandas(chunk, schema=schema)
+    )
 
 
 def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -315,6 +331,8 @@ def train_ivf_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        return np.empty((0, 0), dtype=np.float64)
     X = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
     rng = np.random.default_rng(seed)
@@ -373,6 +391,10 @@ def knn_ivf(
     cent = train_ivf_centroids(
         emb, n_cells=n_cells, sample=sample, iters=iters, seed=seed
     )
+    if cent.size == 0:  # empty corpus: empty top-k, same schema
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int"
+        )
     corpus_cell = _make_cell_udf(cent, nprobe=1)
     query_cells = _make_cell_udf(cent, nprobe=nprobe)
     corpus = emb.select(

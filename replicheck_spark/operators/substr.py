@@ -205,13 +205,23 @@ def anchor_pairs(
     buckets = (
         anchors.groupBy("anchor")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("all_ids"))
-        .withColumn("overflow", F.greatest(F.size("all_ids") - bucket_cap, F.lit(0)))
+        .select(
+            "anchor",
+            F.size("all_ids").alias("rows"),
+            F.greatest(F.size("all_ids") - bucket_cap, F.lit(0)).alias(
+                "overflow"
+            ),
+            F.slice("all_ids", 1, bucket_cap).alias("ids"),
+        )
         # lazy: materialized by the first cand consumer, then shared by the
-        # capped/stats metric aggs instead of recomputing the explode+agg
+        # capped/stats metric aggs instead of recomputing the explode+agg.
+        # Cap BEFORE the checkpoint: caching the uncapped all_ids would store
+        # a hot anchor's full membership (unbounded) when everything
+        # downstream needs only rows/overflow and the first bucket_cap ids —
+        # same ordering candidate_pairs uses in lsh.py.
         .localCheckpoint(eager=False)
     )
-    stats = buckets.select(F.size("all_ids").alias("rows"), "overflow")
-    buckets = buckets.withColumn("ids", F.slice("all_ids", 1, bucket_cap))
+    stats = buckets.select("rows", "overflow")
     capped = buckets.filter(F.col("overflow") > 0).select("anchor", "overflow")
     pairs = (
         buckets.filter(F.size("ids") >= 2)

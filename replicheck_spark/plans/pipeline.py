@@ -61,6 +61,9 @@ def _norm_edges(df: DataFrame) -> DataFrame:
     )
 
 
+_ADVISORY_WAS_UNSET = object()  # sentinel: conf key did not exist before
+
+
 def _auto_advisory_partition_size(spark, pages: DataFrame) -> None:
     """Scale AQE's post-shuffle partition size with the INPUT volume.
 
@@ -105,9 +108,13 @@ def _auto_advisory_partition_size(spark, pages: DataFrame) -> None:
     cores = spark.sparkContext.defaultParallelism
     advisory = min(max(total // (8 * cores), 4 << 20), 64 << 20)
     key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    # distinguish "previously unset" (sessions not built by get_spark, which
+    # always sets the key) from "nothing changed": restore must then UNSET,
+    # not skip — otherwise this input's sizing leaks session-wide, the exact
+    # bug the restore exists to prevent
     prev = spark.conf.get(key, None)
     spark.conf.set(key, str(advisory))
-    return prev
+    return prev if prev is not None else _ADVISORY_WAS_UNSET
 
 
 def run_dedup(
@@ -140,11 +147,11 @@ def run_dedup(
             collect_metrics, checkpoint, iceberg_catalog,
         )
     finally:
-        if prev_advisory is not None:
-            spark.conf.set(
-                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                prev_advisory,
-            )
+        key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        if prev_advisory is _ADVISORY_WAS_UNSET:
+            spark.conf.unset(key)
+        elif prev_advisory is not None:
+            spark.conf.set(key, prev_advisory)
 
 
 def _run_dedup_stages(

@@ -138,15 +138,26 @@ def main(args) -> None:
             capture_output=True, text=True,
             env={**os.environ, "PYTHONPATH": REPO},
         )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        return json.loads(line)["wall_sec"]
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"microbench child failed ({primitive}, local[{cores}], "
+                f"rc={proc.returncode}):\n{proc.stderr[-2000:]}"
+            )
+        return json.loads(lines[-1])["wall_sec"]
 
     lo, hi = args.n_low, args.n_high
     out = {}
-    primitives = (args.only,) if args.only else ("udf", "shuffle")
+    primitives = (args.only,) if args.only else ("udf", "udftext", "shuffle")
     for primitive in primitives:
         walls: dict[int, list[float]] = {lo: [], hi: []}
-        order = [lo, hi, hi, lo, lo, hi][: 2 * args.repeats]
+        # interleave with alternating block order (lo-hi, hi-lo, ...) for any
+        # repeat count — a fixed 6-element order silently capped repeats at 3
+        order = [
+            c
+            for i in range(args.repeats)
+            for c in ([lo, hi] if i % 2 == 0 else [hi, lo])
+        ]
         for cores in order:
             w = measure(primitive, cores)
             walls[cores].append(w)

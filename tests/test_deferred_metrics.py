@@ -93,3 +93,17 @@ def test_similarity_meter_thread_logs_after_action(spark, caplog):
         "knn_lsh_test" in r.message and "truncated" in r.message
         for r in caplog.records
     ), "bucket truncation warning never fired (silent capped work)"
+
+
+def test_embedding_dup_pairs_observation_resolves_on_broadcast_path(spark):
+    """The broadcast (small-corpus) branch has no buckets, but a caller that
+    passed an Observation still drains it after the action — it must resolve
+    to overflow_total=0 instead of blocking forever on a plan it was never
+    attached to."""
+    emb = _planted_emb(spark)
+    obs = Observation()
+    pairs = similarity.embedding_dup_pairs(
+        emb, threshold=0.95, observation=obs
+    )  # tiny corpus -> broadcast path
+    pairs.count()
+    assert int(obs.get["overflow_total"]) == 0

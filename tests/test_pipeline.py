@@ -182,3 +182,30 @@ class TestDeterminismAndResume:
         resumed = run_dedup(spark, pages, CFG, ckpt, run_id="r")
         got = sorted(tuple(r["member_urls"]) for r in resumed.clusters.collect())
         assert got == baseline
+
+    def test_advisory_conf_restored_even_when_previously_unset(
+        self, spark, pages_small, tmp_path_factory
+    ):
+        """Sessions not built by get_spark may have no advisory conf at all;
+        run_dedup must then UNSET the input-sized value it set, not leave it
+        leaked session-wide (restore-to-previous only covers the was-set
+        case)."""
+        key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        prev = spark.conf.get(key, None)
+        pages, _, _ = pages_small
+        # parquet-backed input so _auto_advisory_partition_size can size it
+        src = str(tmp_path_factory.mktemp("adv") / "pages.parquet")
+        pages.write.parquet(src)
+        try:
+            spark.conf.unset(key)
+            run_dedup(
+                spark, spark.read.parquet(src), CFG,
+                str(tmp_path_factory.mktemp("adv_ck")), run_id="a",
+                with_substr=False, collect_metrics=False, checkpoint="min",
+            ).clusters.count()
+            assert spark.conf.get(key, None) is None, (
+                "input-sized advisory leaked into an unset-conf session"
+            )
+        finally:
+            if prev is not None:
+                spark.conf.set(key, prev)

@@ -120,6 +120,25 @@ class TestSignatures:
             assert r["simhash"] == s
             assert r["bands"] == b.tolist()
 
+    def test_default_signature_udf_emits_empty_anchors(self, spark):
+        """make_signature_udf's default anchor_q=0 means "no substring
+        stage": anchors must be EMPTY, not a full 64-bit shingle copy —
+        anchor_q=1 would ship ~1.5x the pre-split Arrow volume through the
+        standalone minhash/simhash operators that drop the column."""
+        from replicheck_spark.functions.udfs import make_signature_udf
+
+        sig = make_signature_udf(
+            CFG.shingle_k, CFG.num_perm, CFG.lsh_bands, CFG.lsh_rows, CFG.seed
+        )
+        text = " ".join(f"t{i}" for i in range(100))
+        row = (
+            spark.createDataFrame([(text,)], "t string")
+            .select(sig(F.col("t")).alias("sig"))
+            .select("sig.shingles", "sig.anchors")
+            .first()
+        )
+        assert len(row["shingles"]) > 0 and row["anchors"] == []
+
     def test_identical_docs_identical_bands(self, spark):
         text = " ".join(f"t{i}" for i in range(100))
         pdf = spark.createDataFrame(
