@@ -471,7 +471,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT sha256(bt) AS block_sha,
                    count(*) AS n_blocks,
                    count(DISTINCT doc_id) AS n_docs
-            FROM u GROUP BY bt
+            FROM u
+            WHERE len(string_split(bt, ' ')) >= 25 AND bt <> ''
+            GROUP BY bt
             HAVING count(DISTINCT doc_id) >= 2
         """,
         "block_near_doc_pairs": """
@@ -492,6 +494,7 @@ def oracle_sql() -> dict[str, str]:
                                     for i in range(1, greatest(len(t)-3, 2))])
                        AS s
               FROM (SELECT doc_id, bidx, bt, string_split(bt, ' ') AS t FROM u)
+              WHERE len(string_split(bt, ' ')) >= 25 AND bt <> ''
             ),
             ex AS (SELECT doc_id, bidx, bt, unnest(s) AS shingle, len(s) AS n
                    FROM sh),

@@ -46,11 +46,30 @@ def explode_blocks(docs: DataFrame, block_tokens: int = 100) -> DataFrame:
     )
 
 
-def block_exact_dups(docs: DataFrame, block_tokens: int = 100) -> DataFrame:
+def _substantial(units: DataFrame, block_tokens: int,
+                 min_block_tokens: int | None) -> DataFrame:
+    """Drop sub-threshold tail windows. Without this, a doc's final partial
+    window can be arbitrarily small — two docs whose lengths are ≡1 (mod
+    block_tokens) and end in the same common word would share a '1-token
+    block', reported to users as a block_tokens-token duplicate; empty docs
+    all share the '' block. Default threshold: half a block."""
+    if min_block_tokens is None:
+        min_block_tokens = block_tokens // 2
+    return units.filter(F.col("n_block_tokens") >= min_block_tokens)
+
+
+def block_exact_dups(
+    docs: DataFrame, block_tokens: int = 100,
+    min_block_tokens: int | None = None,
+) -> DataFrame:
     """Blocks duplicated ACROSS documents: (block_sha, n_blocks, n_docs) for
     every block text appearing in >= 2 distinct docs. Hash agg with map-side
-    combine; SQL-expressible (DuckDB oracle)."""
-    units = explode_blocks(docs, block_tokens)
+    combine; SQL-expressible (DuckDB oracle). Tail windows below
+    ``min_block_tokens`` (default block_tokens//2) are excluded — see
+    _substantial."""
+    units = _substantial(
+        explode_blocks(docs, block_tokens), block_tokens, min_block_tokens
+    )
     return (
         units.groupBy(F.sha2("block_text", 256).alias("block_sha"))
         .agg(
@@ -62,7 +81,8 @@ def block_exact_dups(docs: DataFrame, block_tokens: int = 100) -> DataFrame:
 
 
 def block_near_doc_pairs(
-    docs: DataFrame, cfg: DedupConfig, block_tokens: int = 100
+    docs: DataFrame, cfg: DedupConfig, block_tokens: int = 100,
+    min_block_tokens: int | None = None,
 ) -> DataFrame:
     """Document pairs linked by a NEAR-duplicate block: explode to units, run
     the standard MinHash-LSH pair operator on the unit table, map unit pairs
@@ -74,7 +94,9 @@ def block_near_doc_pairs(
     """
     from replicheck_spark.operators.dedup_ops import minhash_lsh_pairs
 
-    units = explode_blocks(docs, block_tokens)
+    units = _substantial(
+        explode_blocks(docs, block_tokens), block_tokens, min_block_tokens
+    )
     unit_docs = units.select(
         F.col("unit_id").alias("doc_id"), F.col("block_text").alias("text")
     )

@@ -25,9 +25,22 @@ from replicheck_spark.functions.udfs import extract_normalize
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)"
 
 
-def extract_docs(pages: DataFrame) -> DataFrame:
-    """Project pages to the normalized docs table."""
-    return (
+def extract_docs(pages: DataFrame, dedupe_captures: bool = True) -> DataFrame:
+    """Project pages to the normalized docs table.
+
+    ``dedupe_captures``: WARC-style inputs carry multiple captures of the
+    same url (that is why ``warc_ts`` exists); without collapsing them, every
+    downstream doc_id join multiplies rows (conflicting signatures for one
+    doc_id in confirm, re-crawls counted as "duplicates" in exact groups,
+    double-counted cluster members) — and ``audit_doc_id_collisions`` cannot
+    see it because the urls are equal. The LATEST capture wins
+    (``max_by`` on (warc_ts, sha256); the sha256 tiebreak keeps equal-ts
+    duplicates deterministic). The dedup runs AFTER the extraction UDF so
+    the one added exchange carries normalized text, not raw html (~10x
+    narrower at web scale); map-side partial aggregation makes it cheap when
+    captures are unique. Pass False only for inputs guaranteed one row per
+    url."""
+    docs = (
         pages.select(
             "url",
             "warc_ts",
@@ -43,6 +56,18 @@ def extract_docs(pages: DataFrame) -> DataFrame:
             ),
         )
         .withColumn("sha256", F.sha2("norm_text", 256))
+    )
+    if not dedupe_captures:
+        return docs
+    others = [c for c in docs.columns if c != "url"]
+    order_key = F.struct(
+        F.coalesce(F.col("warc_ts"), F.lit("1970-01-01").cast("timestamp")),
+        F.col("sha256"),
+    )
+    return (
+        docs.groupBy("url")
+        .agg(F.max_by(F.struct(*others), order_key).alias("r"))
+        .select("url", *[F.col(f"r.{c}").alias(c) for c in others])
     )
 
 

@@ -43,13 +43,36 @@ def pipe_tool(
     """
     out_cols = [f.name for f in out_schema.fields]
 
+    def jsonable(v):
+        # Arrow->pandas null handling breaks the JSONL contract in two ways:
+        # nulls arrive as NaN (json.dumps emits bare `NaN`, which is NOT
+        # JSON — jq/serde/Go consumers reject the line) and any int column
+        # containing a null is float-coerced (1 -> 1.0, mis-parsed by
+        # integer-expecting tools). convert_dtypes() below restores nullable
+        # Int64 columns; here NA/NaN become real nulls and numpy scalars
+        # become plain Python numbers.
+        import numpy as np
+
+        if v is None or (isinstance(v, float) and v != v) or v is pd.NA:
+            return None
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        if isinstance(v, np.bool_):
+            return bool(v)
+        return v
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
+            sub = pdf[input_cols].convert_dtypes()
             payload = "\n".join(
-                json.dumps(rec)
-                for rec in pdf[input_cols].to_dict(orient="records")
+                json.dumps(
+                    {k: jsonable(v) for k, v in rec.items()}, allow_nan=False
+                )
+                for rec in sub.to_dict(orient="records")
             )
             proc = subprocess.run(
                 cmd, input=payload, capture_output=True, text=True

@@ -69,21 +69,25 @@ def explode_bands(
     )
 
 
-def _pairs_from_two_arrays(a_col: str, b_col: str):
-    """All (x, y) with x from a_col, y from b_col, emitted as a<b structs."""
+def intra_array_pairs(col: str):
+    """All unordered pairs {x, y} within one sorted id array, as a<b structs.
+
+    The SHARED bucket-to-pairs expansion for every bucketed candidate
+    generator (LSH bands here, substring anchors, embedding LSH buckets) —
+    one JVM expression, no join. The a<b filter emits each pair once
+    (the earlier least/greatest form emitted every pair twice and leaned on
+    dropDuplicates to clean up)."""
     return F.filter(
         F.flatten(
             F.transform(
-                F.col(a_col),
+                F.col(col),
                 lambda x: F.transform(
-                    F.col(b_col),
-                    lambda y: F.struct(
-                        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
-                    ),
+                    F.col(col),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
                 ),
             )
         ),
-        lambda p: p["a"] != p["b"],
+        lambda p: p["a"] < p["b"],
     )
 
 
@@ -151,7 +155,7 @@ def candidate_pairs(
     )
     pairs = (
         buckets.filter(F.size("ids") >= 2)
-        .select(F.explode(_pairs_from_two_arrays("ids", "ids")).alias("p"))
+        .select(F.explode(intra_array_pairs("ids")).alias("p"))
         .select("p.a", "p.b")
         .dropDuplicates(["a", "b"])
     )

@@ -290,24 +290,11 @@ def lsh_bucket_candidates(
     capped = grouped.filter(F.col("overflow") > 0).select(
         "table_id", "bucket", "overflow"
     )
+    from replicheck_spark.operators.lsh import intra_array_pairs
+
     pairs = (
         grouped.filter(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "ids",
-                            lambda x: F.transform(
-                                F.col("ids"),
-                                lambda y: F.struct(x.alias("a"), y.alias("b")),
-                            ),
-                        )
-                    ),
-                    lambda s: s["a"] < s["b"],
-                )
-            ).alias("p")
-        )
+        .select(F.explode(intra_array_pairs("ids")).alias("p"))
         .select("p.a", "p.b")
         .dropDuplicates(["a", "b"])
     )

@@ -193,54 +193,64 @@ def anchor_pairs(
     stage table.
 
     ``stats`` has one row per anchor bucket (``rows`` = members in the
-    inverted index, ``overflow`` = members beyond ``bucket_cap``); both
-    frames derive from the lazily-checkpointed bucket table, so aggregating
-    them AFTER any consumer of ``cand`` has run is a cheap job over cached
-    partitions (the pipeline's drain pattern — df.observe cannot be used
-    here, see operators/lsh.py candidate_pairs).
+    inverted index, including members truncated at the salt level;
+    ``overflow`` = members beyond ``bucket_cap``); both frames derive from
+    the lazily-checkpointed bucket table, so aggregating them AFTER any
+    consumer of ``cand`` has run is a cheap job over cached partitions (the
+    pipeline's drain pattern — df.observe cannot be used here, see
+    operators/lsh.py candidate_pairs).
+
+    Skew: the SAME two-level salted capped aggregation as the LSH band stage
+    (lsh.py candidate_pairs). A boilerplate shingle ≡ 0 (mod q) can appear
+    in 10^7+ docs; a single-level collect_list would materialize that whole
+    bucket in one aggregation buffer before the cap applies. Salting on
+    doc_id bounds any task's buffer at ``bucket_cap`` and the merge level at
+    ``salt_buckets * bucket_cap``; every truncation is counted, never
+    silent.
     """
+    from replicheck_spark.operators.lsh import intra_array_pairs
+
     anchors = anchor_index(signatures, cfg)
     # identical docs already linked by the exact stage: one rep per sha256
     anchors = anchors.groupBy("anchor", "sha256").agg(F.min("doc_id").alias("doc_id"))
+    chunks = (
+        anchors.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets))
+        )
+        .groupBy("anchor", "salt")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("chunk_ids"))
+        .withColumn(
+            "chunk_over", F.greatest(F.size("chunk_ids") - bucket_cap, F.lit(0))
+        )
+        .withColumn("chunk_ids", F.slice("chunk_ids", 1, bucket_cap))
+    )
     buckets = (
-        anchors.groupBy("anchor")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("all_ids"))
+        chunks.groupBy("anchor")
+        .agg(
+            F.sort_array(F.flatten(F.collect_list("chunk_ids"))).alias("all_ids"),
+            F.sum("chunk_over").alias("chunk_over"),
+        )
         .select(
             "anchor",
-            F.size("all_ids").alias("rows"),
-            F.greatest(F.size("all_ids") - bucket_cap, F.lit(0)).alias(
-                "overflow"
-            ),
+            (F.size("all_ids") + F.col("chunk_over")).alias("rows"),
+            (
+                F.col("chunk_over")
+                + F.greatest(F.size("all_ids") - bucket_cap, F.lit(0))
+            ).alias("overflow"),
             F.slice("all_ids", 1, bucket_cap).alias("ids"),
         )
         # lazy: materialized by the first cand consumer, then shared by the
         # capped/stats metric aggs instead of recomputing the explode+agg.
-        # Cap BEFORE the checkpoint: caching the uncapped all_ids would store
-        # a hot anchor's full membership (unbounded) when everything
-        # downstream needs only rows/overflow and the first bucket_cap ids —
-        # same ordering candidate_pairs uses in lsh.py.
+        # Cap BEFORE the checkpoint: caching uncapped membership would store
+        # a hot anchor's full id list (unbounded) when everything downstream
+        # needs only rows/overflow and the first bucket_cap ids.
         .localCheckpoint(eager=False)
     )
     stats = buckets.select("rows", "overflow")
     capped = buckets.filter(F.col("overflow") > 0).select("anchor", "overflow")
     pairs = (
         buckets.filter(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("ids"),
-                            lambda x: F.transform(
-                                F.col("ids"),
-                                lambda y: F.struct(x.alias("a"), y.alias("b")),
-                            ),
-                        )
-                    ),
-                    lambda p: p["a"] < p["b"],
-                )
-            ).alias("p")
-        )
+        .select(F.explode(intra_array_pairs("ids")).alias("p"))
         .select("p.a", "p.b")
         .dropDuplicates(["a", "b"])
     )

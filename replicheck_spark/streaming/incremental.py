@@ -43,6 +43,23 @@ from replicheck_spark.operators.signatures import compute_signatures
 
 HIT_COLS = ["doc_id", "url", "dup_of", "kind"]
 
+_log = __import__("logging").getLogger(__name__)
+
+
+def _log_capped(capped: DataFrame, where: str) -> None:
+    """Surface bucket-cap truncation per micro-batch (SURVEY §4.2: capped
+    work is metered, never silent). One tiny agg job per batch — foreachBatch
+    is job-driven anyway, and the frames derive from lazily-checkpointed
+    bucket tables shared with the candidate consumers."""
+    total = capped.agg(
+        F.coalesce(F.sum("overflow"), F.lit(0)).alias("t")
+    ).first()["t"]
+    if total:
+        _log.warning(
+            "incremental dedup: %s candidate buckets truncated %d doc slots "
+            "(bucket_cap) — possible recall loss this batch", where, int(total)
+        )
+
 
 class IncrementalDedup:
     """foreachBatch handler owning the signature store."""
@@ -105,9 +122,10 @@ class IncrementalDedup:
             .filter(F.col("doc_id") != F.col("rep_id"))
             .select("doc_id", "url", "dup_of", F.lit("exact").alias("kind"))
         )
-        cands, _ = candidate_pairs(
+        cands, capped = candidate_pairs(
             explode_bands(sigs_new, cfg, rep_by="url"), cfg
         )
+        _log_capped(capped, "within-batch")
         edges = confirm_pairs(cands, sigs_new, cfg)
         dup_is_b = F.col("b_url") > F.col("a_url")
         near_in = edges.select(
@@ -128,13 +146,25 @@ class IncrementalDedup:
         prior = self._prior_batch_dirs(batch_id)
         if prior:
             store = self.spark.read.parquet(*prior)
-            # exact hits: sha already present
+            # A url re-delivered in a later batch supersedes its store row:
+            # keeping the stale signature would (a) flag the doc as an exact
+            # duplicate of ITSELF and (b) give confirm_pairs two conflicting
+            # signature rows for one doc_id (wrong jaccard, duplicate edges)
+            # when the re-crawl's content changed.
+            store = store.join(
+                sigs_new.select("doc_id"), "doc_id", "left_anti"
+            )
+            # exact hits: sha already present. ONE canonical (min url) per
+            # stored sha — joining every store row with the sha would emit k
+            # duplicate hit rows per new doc when the store already holds k
+            # identical texts.
+            store_reps = store.groupBy("sha256").agg(
+                F.min("url").alias("dup_of")
+            )
             exact_hits = (
                 sigs_new.select("doc_id", "url", "sha256")
-                .join(
-                    store.select(F.col("sha256"), F.col("url").alias("dup_of")),
-                    "sha256",
-                )
+                .join(store_reps, "sha256")
+                .filter(F.col("url") != F.col("dup_of"))
                 .select("doc_id", "url", "dup_of", F.lit("exact").alias("kind"))
             )
             # near hits: band collision new x store, Jaccard-confirmed
@@ -144,14 +174,33 @@ class IncrementalDedup:
             new_bands = explode_bands(sigs_new, cfg, rep_by="url").select(
                 "band_id", "band_hash", F.col("doc_id").alias("a")
             )
-            store_bands = explode_bands(store, cfg).select(
-                "band_id", "band_hash", F.col("doc_id").alias("b")
+            # Cap the store side per band bucket (same discipline as the
+            # batch path's candidate_pairs): a hot band shared by m store
+            # docs and n new docs would otherwise fan out m*n rows
+            # unbounded. Truncation is metered, never silent.
+            store_buckets = (
+                explode_bands(store, cfg)
+                .groupBy("band_id", "band_hash")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("all_ids"))
+                .select(
+                    "band_id",
+                    "band_hash",
+                    F.greatest(
+                        F.size("all_ids") - cfg.bucket_cap, F.lit(0)
+                    ).alias("overflow"),
+                    F.slice("all_ids", 1, cfg.bucket_cap).alias("ids"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            _log_capped(
+                store_buckets.filter(F.col("overflow") > 0).select("overflow"),
+                "new-vs-store",
             )
             # orientation matters: a = the NEW doc, b = the store doc
             cands = (
-                new_bands.join(store_bands, ["band_id", "band_hash"])
+                new_bands.join(store_buckets, ["band_id", "band_hash"])
+                .select("a", F.explode("ids").alias("b"))
                 .filter(F.col("a") != F.col("b"))
-                .select("a", "b")
                 .dropDuplicates(["a", "b"])
             )
             both = store.unionByName(sigs_new)

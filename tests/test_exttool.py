@@ -62,3 +62,31 @@ def test_pipe_tool_failure_is_loud(spark, tmp_path):
     out = pipe_tool(df, [sys.executable, str(tool)], ["doc_id", "text"], OUT_SCHEMA)
     with pytest.raises(Exception, match="exited 3|boom"):
         out.collect()
+
+
+STRICT_TOOL = """\
+import json, sys
+for line in sys.stdin:
+    r = json.loads(line)  # bare NaN would raise here (strict JSON)
+    assert r["maybe"] is None or isinstance(r["maybe"], int), r
+    print(json.dumps({"doc_id": r["doc_id"],
+                      "finding": "null" if r["maybe"] is None else "int",
+                      "pid": 0}))
+"""
+
+
+def test_pipe_tool_nulls_are_valid_json_and_ints_stay_ints(spark, tmp_path):
+    """Null values must serialize as JSON null (bare NaN is not JSON and
+    kills strict consumers), and an int column containing nulls must not be
+    float-coerced (1 -> 1.0) on the non-null rows."""
+    tool = tmp_path / "strict.py"
+    tool.write_text(STRICT_TOOL)
+    df = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.col("id") * 10).alias("maybe"),
+    )
+    out = pipe_tool(
+        df, [sys.executable, str(tool)], ["doc_id", "maybe"], OUT_SCHEMA
+    ).collect()
+    kinds = sorted(r["finding"] for r in out)
+    assert kinds == ["int"] * 3 + ["null"] * 3

@@ -26,8 +26,12 @@ import pytest
 from replicheck_spark.config import DedupConfig
 from replicheck_spark.plans.pipeline import run_dedup
 
-MIN_MODE_BUDGET = 53
-FULL_MODE_BUDGET = 97
+# +2 jobs round 4: the capture-dedup exchange in extract_docs (one url can
+# now arrive with multiple warc_ts captures; collapsing to the latest adds
+# one AQE-materialized shuffle whose stages account for the extra jobs) —
+# a deliberate correctness cost, not an eager-action regression
+MIN_MODE_BUDGET = 55
+FULL_MODE_BUDGET = 99
 
 
 def _job_count(spark, fn):

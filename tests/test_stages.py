@@ -48,6 +48,37 @@ class TestExtract:
         from replicheck_spark.functions.textnorm import host_of
         assert row["host"] == host_of(row["url"])
 
+    def test_multiple_captures_collapse_to_latest(self, spark):
+        """WARC-style inputs re-capture the same url; docs must carry ONE row
+        per url (the latest warc_ts), or every downstream doc_id join
+        multiplies rows while audit_doc_id_collisions sees nothing (equal
+        urls). Null warc_ts sorts before any real timestamp."""
+        from datetime import datetime, timezone
+
+        old = " ".join(f"old{i}" for i in range(60))
+        new = " ".join(f"new{i}" for i in range(60))
+        rows = [
+            ("https://a.example/1", datetime(2024, 1, 1, tzinfo=timezone.utc),
+             None, old, "en"),
+            ("https://a.example/1", datetime(2025, 6, 1, tzinfo=timezone.utc),
+             None, new, "en"),
+            ("https://a.example/1", None, None, "null ts capture", "en"),
+            ("https://b.example/2", None, None, old, "en"),
+        ]
+        pages = spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        docs = extract_docs(pages).collect()
+        by_url = {}
+        for r in docs:
+            assert r["url"] not in by_url, f"duplicate docs row for {r['url']}"
+            by_url[r["url"]] = r
+        assert by_url["https://a.example/1"]["norm_text"].startswith("new0")
+        assert len(by_url) == 2
+        # opt-out keeps all captures
+        assert extract_docs(pages, dedupe_captures=False).count() == 4
+
 
 class TestExact:
     def test_detector_contract(self, spark):

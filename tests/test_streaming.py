@@ -270,3 +270,57 @@ def test_survivor_set_has_no_near_dup_pairs(spark, tmp_path):
             f"survivors {a} and {b} are near-duplicates — a canonical "
             f"escaped flagging"
         )
+
+
+def test_redelivered_url_not_flagged_as_its_own_duplicate(spark, tmp_path):
+    """A url re-arriving in a later batch (at-least-once delivery upstream of
+    the stream, or a re-crawl) supersedes its store row: it must not be
+    flagged as an exact duplicate of ITSELF, and a changed re-crawl must not
+    be confirmed against its own stale signature."""
+    from replicheck_spark.streaming.incremental import IncrementalDedup
+
+    base = " ".join(f"t{i}" for i in range(120))
+    changed = " ".join(f"c{i}" for i in range(120))
+    handler = IncrementalDedup(
+        spark, str(tmp_path / "store"), DedupConfig(), str(tmp_path / "hits")
+    )
+
+    def batch_df(rows):
+        return spark.createDataFrame(pages_to_pandas(rows))
+
+    handler.process_batch(
+        batch_df([_row("https://a.example/1", base),
+                  _row("https://b.example/2", changed)]), 0)
+    # batch 1 re-delivers /1 byte-identical and /2 with NEW content
+    handler.process_batch(
+        batch_df([_row("https://a.example/1", base),
+                  _row("https://b.example/2", " ".join(f"z{i}" for i in range(120)))]),
+        1)
+    hits = spark.read.parquet(str(tmp_path / "hits")).collect()
+    for r in hits:
+        assert r["dup_of"] != r["url"], f"self-duplicate hit: {r}"
+    # neither doc has a genuine duplicate -> no hits at all
+    assert hits == []
+
+
+def test_store_exact_hit_is_single_canonical_row(spark, tmp_path):
+    """k identical texts in the store must yield ONE exact hit per new doc
+    (canonical = min url), not k duplicate hit rows."""
+    from replicheck_spark.streaming.incremental import IncrementalDedup
+
+    base = " ".join(f"t{i}" for i in range(120))
+    handler = IncrementalDedup(
+        spark, str(tmp_path / "store"), DedupConfig(), str(tmp_path / "hits")
+    )
+
+    def batch_df(rows):
+        return spark.createDataFrame(pages_to_pandas(rows))
+
+    handler.process_batch(
+        batch_df([_row("https://a.example/1", base),
+                  _row("https://b.example/2", base)]), 0)
+    handler.process_batch(batch_df([_row("https://c.example/3", base)]), 1)
+    hits = [r for r in spark.read.parquet(str(tmp_path / "hits")).collect()
+            if r["url"] == "https://c.example/3" and r["kind"] == "exact"]
+    assert len(hits) == 1, hits
+    assert hits[0]["dup_of"] == "https://a.example/1"
