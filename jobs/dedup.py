@@ -81,7 +81,11 @@ def main(argv=None) -> int:
     )
     spark = get_spark("replicheck_spark_dedup", master=args.master)
 
-    if args.synth:
+    # `is not None`: --synth 0 must be rejected as an explicit (empty) synth
+    # request, not silently fall through to pages_path=None
+    if args.synth is not None:
+        if args.synth <= 0:
+            raise SystemExit(f"--synth must be positive, got {args.synth}")
         from replicheck_spark.corpus import write_pages_parquet
 
         pages_path = tempfile.mkdtemp(prefix="pages_") + "/pages.parquet"

@@ -89,6 +89,23 @@ def hash_token_lists(token_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarr
         return flat, offsets
 
 
+def kgram_hashes_global(flat_tokens: np.ndarray, k: int) -> np.ndarray:
+    """``out[i] = splitmix64(poly-combine(flat_tokens[i : i+k]))`` for every
+    global position ``i`` of a flattened batch — THE k-gram hash definition,
+    shared by the shingle path (below) and the winnowing fingerprint
+    (operators/textops.py). Positions whose window crosses a doc boundary
+    are still computed; callers slice ``out[s : e-k+1]`` per doc to exclude
+    them. One vectorized pass, O(total) temporaries."""
+    total = len(flat_tokens)
+    if total < k:
+        return np.empty(0, dtype=np.uint64)
+    acc = flat_tokens[: total - k + 1].copy()
+    for j in range(1, k):
+        np.multiply(acc, _POLY_PRIME, out=acc)
+        np.add(acc, flat_tokens[j : total - k + 1 + j], out=acc)
+    return splitmix64(acc)
+
+
 def shingle_hashes_flat(
     flat_tokens: np.ndarray, offsets: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -100,19 +117,7 @@ def shingle_hashes_flat(
     Returns (flat distinct-per-doc shingle hashes, offsets).
     """
     n_docs = len(offsets) - 1
-    counts = np.diff(offsets)
-    total = int(offsets[-1])
-
-    # Positions where a full k-shingle starts: global index i such that
-    # i + k - 1 < doc_end for i's doc.
-    if total >= k:
-        acc = flat_tokens[: total - k + 1].copy()
-        for j in range(1, k):
-            np.multiply(acc, _POLY_PRIME, out=acc)
-            np.add(acc, flat_tokens[j : total - k + 1 + j], out=acc)
-        acc = splitmix64(acc)
-    else:
-        acc = np.empty(0, dtype=np.uint64)
+    acc = kgram_hashes_global(flat_tokens, k)
 
     out_chunks: list[np.ndarray] = []
     out_offsets = np.zeros(n_docs + 1, dtype=np.int64)

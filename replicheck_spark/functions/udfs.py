@@ -155,7 +155,14 @@ def make_anchor_hash_udf(shingle_k: int, anchor_q: int):
     """Lean signature for stages that only need the 64-bit substring-anchor
     subset (shingle hashes ≡ 0 mod ``anchor_q``) — skips the
     MinHash/SimHash/band work of make_signature_udf. Anchors stay 64-bit:
-    they are global groupBy keys (see signature_schema)."""
+    they are global groupBy keys (see signature_schema).
+
+    Unlike make_signature_udf, anchor_q=0 is NOT a valid "disabled" value
+    here — this UDF exists solely to produce anchors, and numpy's mod-by-zero
+    would silently return 0 (marking EVERY shingle an anchor) instead of
+    erroring."""
+    if anchor_q < 1:
+        raise ValueError(f"anchor_q must be >= 1, got {anchor_q}")
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def anchors(text: pd.Series) -> pd.Series:

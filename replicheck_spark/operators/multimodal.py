@@ -15,9 +15,9 @@ training-data pipeline filters on (min-resolution gates, aspect buckets).
 from __future__ import annotations
 
 import hashlib
-import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -118,11 +118,13 @@ def _sniff(payload: bytes) -> str:
 def _entropy(payload: bytes) -> float:
     if not payload:
         return 0.0
-    counts: dict[int, int] = {}
-    for ch in payload:
-        counts[ch] = counts.get(ch, 0) + 1
-    n = len(payload)
-    return -sum((c / n) * math.log2(c / n) for c in counts.values())
+    # vectorized histogram: a per-byte Python loop costs ~5M dict ops on a
+    # 5 MB payload — bincount is the same histogram in one numpy pass
+    counts = np.bincount(
+        np.frombuffer(payload, dtype=np.uint8), minlength=256
+    )
+    p = counts[counts > 0] / len(payload)
+    return float(-(p * np.log2(p)).sum())
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:

@@ -263,18 +263,10 @@ def fingerprint(docs: DataFrame, k: int = 5, window: int = 8) -> DataFrame:
     def _fp(texts: pd.Series) -> pd.Series:
         token_lists = [(t or "").split(" ") for t in texts.tolist()]
         flat, off = hashing.hash_token_lists(token_lists)
-        total = int(off[-1])
-        # global ordered k-gram polynomial pass (same combine as
-        # hashing.shingle_hashes_flat); acc[i] covers flat[i:i+k], and the
-        # per-doc slice acc[s : e-k+1] never crosses a doc boundary.
-        if total >= k:
-            acc = flat[: total - k + 1].copy()
-            for j in range(1, k):
-                np.multiply(acc, hashing._POLY_PRIME, out=acc)
-                np.add(acc, flat[j : total - k + 1 + j], out=acc)
-            acc = hashing.splitmix64(acc)
-        else:
-            acc = np.empty(0, dtype=np.uint64)
+        # THE shared k-gram hash pass (hashing.kgram_hashes_global — same
+        # definition the shingle path uses); acc[i] covers flat[i:i+k], and
+        # the per-doc slice acc[s : e-k+1] never crosses a doc boundary.
+        acc = hashing.kgram_hashes_global(flat, k)
         out = []
         for d in range(len(token_lists)):
             s, e = int(off[d]), int(off[d + 1])

@@ -31,24 +31,37 @@ class TableIO:
     def _path(self, stage: str) -> str:
         return os.path.join(self.root, self.run_id, stage)
 
+    def _table(self, stage: str) -> str:
+        """Catalog table name for a stage.
+
+        The parquet backend treats run_id as a directory name, so ids like
+        ``2026-08-17-a`` must work on the Iceberg backend too: the run_id
+        segment is sanitized into a SQL identifier (non-alphanumerics -> _,
+        ``t`` prefix when it would start with a digit) — deterministic, so
+        resume resolves the same table. ``iceberg_catalog`` may itself be a
+        multipart prefix (``catalog.namespace``) for catalogs that require a
+        namespace."""
+        import re
+
+        rid = re.sub(r"[^A-Za-z0-9_]", "_", self.run_id)
+        if rid[:1].isdigit():
+            rid = f"t{rid}"
+        return f"{self.iceberg_catalog}.{rid}_{stage}"
+
     def exists(self, stage: str) -> bool:
         if self.iceberg_catalog:
-            return self.spark.catalog.tableExists(
-                f"{self.iceberg_catalog}.{self.run_id}_{stage}"
-            )
+            return self.spark.catalog.tableExists(self._table(stage))
         return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
 
     def write(self, stage: str, df: DataFrame, partitions: int | None = None) -> None:
         if partitions:
             df = df.repartition(partitions)
         if self.iceberg_catalog:
-            df.writeTo(f"{self.iceberg_catalog}.{self.run_id}_{stage}").createOrReplace()
+            df.writeTo(self._table(stage)).createOrReplace()
         else:
             df.write.mode("overwrite").parquet(self._path(stage))
 
     def read(self, stage: str) -> DataFrame:
         if self.iceberg_catalog:
-            return self.spark.read.table(
-                f"{self.iceberg_catalog}.{self.run_id}_{stage}"
-            )
+            return self.spark.read.table(self._table(stage))
         return self.spark.read.parquet(self._path(stage))

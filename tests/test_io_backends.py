@@ -41,6 +41,19 @@ def test_iceberg_read_uses_read_table():
     spark.read.table.assert_called_once_with("ice.db.run7_labels")
 
 
+def test_iceberg_run_id_sanitized_to_sql_identifier():
+    """A date-stamped run_id works as a parquet directory name, so the
+    Iceberg backend must map it to a legal identifier (deterministically,
+    or resume would resolve a different table) instead of throwing a
+    ParseException on the hyphens/leading digit."""
+    spark = _fake_spark()
+    io = TableIO(spark, "/ckpt", "2026-08-17-a", iceberg_catalog="ice.db")
+    io.exists("docs")
+    spark.catalog.tableExists.assert_called_once_with(
+        "ice.db.t2026_08_17_a_docs"
+    )
+
+
 def test_parquet_default_untouched(tmp_path):
     spark = _fake_spark()
     io = TableIO(spark, str(tmp_path), "run7")
