@@ -230,7 +230,7 @@ def _log_overflow_on_execute(bucketed: DataFrame, where: str) -> DataFrame:
 def lsh_bucket_candidates(
     emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
     bucket_cap: int = 256, n_tables: int = 1, meter: str | None = None,
-    observation=None,
+    observation=None, salt_buckets: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Random-hyperplane LSH: bucket = sign-bit string of `n_planes` dot
     products per hash table; candidate pairs generated within buckets only.
@@ -270,14 +270,36 @@ def lsh_bucket_candidates(
             "table_id", "bucket"
         ),
     )
-    grouped = (
-        bucketed.groupBy("table_id", "bucket")
-        .agg(F.sort_array(F.collect_list("vec_id")).alias("all_ids"))
+    # two-level salted capped aggregation, same skew discipline as the text
+    # LSH band stage (lsh.py candidate_pairs): clustered embedding corpora
+    # produce hot sign-bit buckets, and a single-level collect_list would
+    # materialize a whole hot bucket in one aggregation buffer before the
+    # cap applies. Salting bounds any task at bucket_cap and the merge at
+    # salt_buckets * bucket_cap; every truncation is counted.
+    chunks = (
+        bucketed.withColumn(
+            "salt", F.pmod(F.xxhash64("vec_id"), F.lit(salt_buckets))
+        )
+        .groupBy("table_id", "bucket", "salt")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("chunk_ids"))
         .withColumn(
-            "overflow", F.greatest(F.size("all_ids") - bucket_cap, F.lit(0))
+            "chunk_over", F.greatest(F.size("chunk_ids") - bucket_cap, F.lit(0))
+        )
+        .withColumn("chunk_ids", F.slice("chunk_ids", 1, bucket_cap))
+    )
+    grouped = (
+        chunks.groupBy("table_id", "bucket")
+        .agg(
+            F.sort_array(F.flatten(F.collect_list("chunk_ids"))).alias("all_ids"),
+            F.sum("chunk_over").alias("chunk_over"),
+        )
+        .withColumn(
+            "overflow",
+            F.col("chunk_over")
+            + F.greatest(F.size("all_ids") - bucket_cap, F.lit(0)),
         )
         .withColumn("ids", F.slice("all_ids", 1, bucket_cap))
-        .drop("all_ids")
+        .drop("all_ids", "chunk_over")
     )
     grouped = grouped.localCheckpoint(eager=False)  # reused by capped + pairs
     if observation is not None:
