@@ -17,17 +17,35 @@ from pyspark.sql import DataFrame, functions as F
 from replicheck_spark.config import DedupConfig
 from replicheck_spark.functions.udfs import make_signature_udf
 from replicheck_spark.operators.confirm import confirm_pairs
+from replicheck_spark.operators.exact import capped_members_agg
 from replicheck_spark.operators.lsh import candidate_pairs, explode_bands
 
 
-def exact_dup_groups(docs: DataFrame) -> DataFrame:
+def exact_dup_groups(
+    docs: DataFrame, members_cap: int | None = None
+) -> DataFrame:
     """Groups of byte-identical raw text: (text_sha, n_dups, doc_ids sorted,
-    cross_source)."""
+    cross_source).
+
+    ``members_cap=None`` (default) lists EVERY member — the oracle-exact
+    semantics the driver's DuckDB comparison requires. Production at web
+    scale should pass a cap: a 10^8-member boilerplate group would otherwise
+    materialize one giant collect_list aggregation buffer in a single task.
+    With a cap, the buffer is bounded via the same pre-agg row_number marker
+    as the pipeline face (exact.capped_members_agg) and truncation stays
+    metered in-band: ``n_dups`` is always the TRUE group size, so
+    ``n_dups - size(doc_ids)`` is the per-group truncation count."""
+    keyed = docs.withColumn("text_sha", F.sha2("text", 256))
+    if members_cap is None:
+        members = F.sort_array(F.collect_list("doc_id"))
+    else:
+        rn, members = capped_members_agg("doc_id", "text_sha", members_cap)
+        keyed = keyed.withColumn("_member_rn", rn)
     return (
-        docs.groupBy(F.sha2("text", 256).alias("text_sha"))
+        keyed.groupBy("text_sha")
         .agg(
             F.count("*").alias("n_dups"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            members.alias("doc_ids"),
             (F.countDistinct("source") > 1).alias("cross_source"),
         )
         .filter(F.col("n_dups") >= 2)

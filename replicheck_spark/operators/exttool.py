@@ -53,7 +53,14 @@ def pipe_tool(
         # become plain Python numbers.
         import numpy as np
 
-        if v is None or (isinstance(v, float) and v != v) or v is pd.NA:
+        import math
+
+        if v is None or v is pd.NA:
+            return None
+        # NaN AND +/-inf -> null: json.dumps(allow_nan=False) would otherwise
+        # raise ValueError on a single non-finite value and kill the task;
+        # null is a line the tool can reject per-row instead.
+        if isinstance(v, (float, np.floating)) and not math.isfinite(v):
             return None
         if isinstance(v, np.integer):
             return int(v)

@@ -91,6 +91,43 @@ def intra_array_pairs(col: str):
     )
 
 
+def capped_id_buckets(
+    rows: DataFrame, keys: list[str], cap: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Two-level salted capped aggregation: (keys..., salt, id) rows ->
+    (keys..., ids array<=cap sorted, overflow count).
+
+    THE skew pattern for every bucketed candidate generator (LSH bands,
+    embedding buckets, the streaming store-side band join): level 1 hash-aggs
+    on (keys, salt) so a hot bucket's members land on ``salt_buckets``
+    different reducers and no task ever materializes the whole bucket; level 2
+    merges the bounded chunks and re-caps. Both levels are partial+final hash
+    aggs (map-side combine). Every truncation at either level is counted into
+    ``overflow`` — metered, never silent. Requires a ``salt`` column
+    (``explode_bands`` adds one)."""
+    chunks = (
+        rows.groupBy(*keys, "salt")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("chunk_ids"))
+        .withColumn(
+            "chunk_over", F.greatest(F.size("chunk_ids") - cap, F.lit(0))
+        )
+        .withColumn("chunk_ids", F.slice("chunk_ids", 1, cap))
+    )
+    return (
+        chunks.groupBy(*keys)
+        .agg(
+            F.sort_array(F.flatten(F.collect_list("chunk_ids"))).alias("all_ids"),
+            F.sum("chunk_over").alias("chunk_over"),
+        )
+        .withColumn(
+            "overflow",
+            F.col("chunk_over") + F.greatest(F.size("all_ids") - cap, F.lit(0)),
+        )
+        .withColumn("ids", F.slice("all_ids", 1, cap))
+        .drop("all_ids", "chunk_over")
+    )
+
+
 def candidate_pairs(
     bands: DataFrame, cfg: DedupConfig
 ) -> tuple[DataFrame, DataFrame]:
@@ -124,27 +161,8 @@ def candidate_pairs(
     resolves the Observation to zero forever (measured on Spark 4.1.2; the
     r3 pipeline silently recorded dropped=0 unconditionally because of it).
     """
-    cap = cfg.bucket_cap
-    chunks = (
-        bands.groupBy("band_id", "band_hash", "salt")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("chunk_ids"))
-        .withColumn(
-            "chunk_over", F.greatest(F.size("chunk_ids") - cap, F.lit(0))
-        )
-        .withColumn("chunk_ids", F.slice("chunk_ids", 1, cap))
-    )
-    buckets = (
-        chunks.groupBy("band_id", "band_hash")
-        .agg(
-            F.sort_array(F.flatten(F.collect_list("chunk_ids"))).alias("all_ids"),
-            F.sum("chunk_over").alias("chunk_over"),
-        )
-        .withColumn(
-            "overflow",
-            F.col("chunk_over") + F.greatest(F.size("all_ids") - cap, F.lit(0)),
-        )
-        .withColumn("ids", F.slice("all_ids", 1, cap))
-        .drop("all_ids", "chunk_over")
+    buckets = capped_id_buckets(
+        bands, ["band_id", "band_hash"], cfg.bucket_cap
     )
     # lazy: materialized once at first consumption, reused by capped + pairs;
     # no dedicated barrier job (capped often goes unconsumed in bench mode)

@@ -37,16 +37,21 @@ class TableIO:
         The parquet backend treats run_id as a directory name, so ids like
         ``2026-08-17-a`` must work on the Iceberg backend too: the run_id
         segment is sanitized into a SQL identifier (non-alphanumerics -> _,
-        ``t`` prefix when it would start with a digit) — deterministic, so
-        resume resolves the same table. ``iceberg_catalog`` may itself be a
-        multipart prefix (``catalog.namespace``) for catalogs that require a
-        namespace."""
+        ``t`` prefix when it would start with a digit). Sanitization alone is
+        lossy (``2026-08-17-a`` and ``2026_08_17_a`` would collide, letting
+        one run resume another run's checkpoint tables), so a short sha1 of
+        the RAW run_id is appended — the mapping is injective and still
+        deterministic, so resume resolves the same table. ``iceberg_catalog``
+        may itself be a multipart prefix (``catalog.namespace``) for catalogs
+        that require a namespace."""
+        import hashlib
         import re
 
         rid = re.sub(r"[^A-Za-z0-9_]", "_", self.run_id)
         if rid[:1].isdigit():
             rid = f"t{rid}"
-        return f"{self.iceberg_catalog}.{rid}_{stage}"
+        tag = hashlib.sha1(self.run_id.encode("utf-8")).hexdigest()[:8]
+        return f"{self.iceberg_catalog}.{rid}_{tag}_{stage}"
 
     def exists(self, stage: str) -> bool:
         if self.iceberg_catalog:

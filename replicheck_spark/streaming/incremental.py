@@ -20,7 +20,12 @@ byte-identically and never matches a doc against its own failed attempt.
 
 State lives in a parquet (prod: Iceberg) directory, so the stream restarts
 idempotently from its own checkpoint + the store — the streaming face of the
-batch pipeline's resume contract. The store schema is the signature schema
+batch pipeline's resume contract. The store is read latest-per-doc_id (a url
+re-delivered in ANY later batch supersedes its older rows, not just same-batch
+re-delivery) and periodically compacted: every ``compact_every`` batches the
+current batch's partition absorbs the whole live row set and the subsumed
+partitions are reclaimed one batch later (replay-safe), so store size is
+O(live urls), not O(deliveries). The store schema is the signature schema
 verbatim; a store written before the 32-bit shingle change (array<long>
 shingles, no anchors column) cannot be unioned with new batches — restart
 such a stream with a fresh store (signatures are derivable from the pages
@@ -38,7 +43,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from replicheck_spark.config import DedupConfig
 from replicheck_spark.operators.confirm import confirm_pairs
 from replicheck_spark.operators.extract import eligible_docs, extract_docs
-from replicheck_spark.operators.lsh import candidate_pairs, explode_bands
+from replicheck_spark.operators.lsh import (
+    candidate_pairs,
+    capped_id_buckets,
+    explode_bands,
+)
 from replicheck_spark.operators.signatures import compute_signatures
 
 HIT_COLS = ["doc_id", "url", "dup_of", "kind"]
@@ -65,11 +74,16 @@ class IncrementalDedup:
     """foreachBatch handler owning the signature store."""
 
     def __init__(self, spark: SparkSession, store_dir: str, cfg: DedupConfig,
-                 hits_dir: str):
+                 hits_dir: str, compact_every: int = 8):
         self.spark = spark
         self.store_dir = store_dir
         self.hits_dir = hits_dir
         self.cfg = cfg
+        # Once the store spans this many batch partitions, the compaction
+        # batch folds the whole LIVE row set into its own partition and the
+        # subsumed partitions are reclaimed next batch — bounding store size
+        # at O(live urls), not O(deliveries). <= 1 disables compaction.
+        self.compact_every = compact_every
 
     def _prior_batch_dirs(self, batch_id: int) -> list[str]:
         if not os.path.isdir(self.store_dir):
@@ -84,6 +98,37 @@ class IncrementalDedup:
             ):
                 out.append(os.path.join(self.store_dir, name))
         return out
+
+    def _reclaim_subsumed(self, batch_id: int) -> None:
+        """Delete store partitions subsumed by a COMMITTED compaction.
+
+        Deferred to the next batch on purpose: at compaction batch B the
+        ``batch_id=B`` partition holds every live row, but B is not
+        checkpoint-committed until ``process_batch`` returns — deleting the
+        subsumed dirs inside batch B would leave a replay of B with an empty
+        prior store (missed store hits). Once a batch > B is running, B is
+        committed, and the old partitions are pure space overhead (the
+        latest-per-doc_id read dedupe already ignores their superseded
+        rows), so dropping them changes no result."""
+        marker = os.path.join(self.store_dir, "_compacted_at")
+        if not os.path.exists(marker):
+            return
+        try:
+            with open(marker) as f:
+                compacted_at = int(f.read().strip())
+        except ValueError:
+            return
+        if batch_id <= compacted_at:
+            return  # the compaction batch itself may be replaying
+        import shutil
+
+        for name in os.listdir(self.store_dir):
+            if not name.startswith("batch_id="):
+                continue
+            if int(name.split("=", 1)[1]) < compacted_at:
+                shutil.rmtree(
+                    os.path.join(self.store_dir, name), ignore_errors=True
+                )
 
     def _within_batch_hits(self, sigs_new: DataFrame) -> DataFrame:
         """new x new duplicates; there is no arrival order INSIDE a micro-batch
@@ -138,19 +183,38 @@ class IncrementalDedup:
 
     def process_batch(self, pages_batch: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
+        self._reclaim_subsumed(batch_id)
         docs_new = eligible_docs(extract_docs(pages_batch), cfg.min_size)
         sigs_new = compute_signatures(docs_new, cfg).localCheckpoint()
 
         hits = self._within_batch_hits(sigs_new)
 
         prior = self._prior_batch_dirs(batch_id)
+        store = None
         if prior:
-            store = self.spark.read.parquet(*prior)
-            # A url re-delivered in a later batch supersedes its store row:
-            # keeping the stale signature would (a) flag the doc as an exact
-            # duplicate of ITSELF and (b) give confirm_pairs two conflicting
-            # signature rows for one doc_id (wrong jaccard, duplicate edges)
-            # when the re-crawl's content changed.
+            # basePath recovers batch_id from the partition dir names — it is
+            # the supersede ordering below.
+            store = self.spark.read.option("basePath", self.store_dir).parquet(
+                *prior
+            )
+            # A url re-delivered in ANY later batch supersedes its earlier
+            # store rows: keeping a stale signature would (a) flag the doc as
+            # an exact duplicate of ITSELF and (b) give confirm_pairs two
+            # conflicting signature rows for one doc_id (wrong jaccard,
+            # duplicate/contradictory edges) when the re-crawl's content
+            # changed. The current batch's anti-join alone only covers
+            # re-delivery in THIS batch — a url delivered in batch 1 and
+            # re-delivered in batch 3 would otherwise sit in the store twice
+            # from batch 4 on, so latest-per-doc_id wins first:
+            sig_cols = [
+                c for c in store.columns if c not in ("doc_id", "batch_id")
+            ]
+            store = (
+                store.groupBy("doc_id")
+                .agg(F.max_by(F.struct(*sig_cols), "batch_id").alias("s"))
+                .select("doc_id", "s.*")
+            )
+            # ... then drop rows superseded by THIS batch.
             store = store.join(
                 sigs_new.select("doc_id"), "doc_id", "left_anti"
             )
@@ -174,24 +238,17 @@ class IncrementalDedup:
             new_bands = explode_bands(sigs_new, cfg, rep_by="url").select(
                 "band_id", "band_hash", F.col("doc_id").alias("a")
             )
-            # Cap the store side per band bucket (same discipline as the
-            # batch path's candidate_pairs): a hot band shared by m store
-            # docs and n new docs would otherwise fan out m*n rows
-            # unbounded. Truncation is metered, never silent.
-            store_buckets = (
-                explode_bands(store, cfg)
-                .groupBy("band_id", "band_hash")
-                .agg(F.sort_array(F.collect_list("doc_id")).alias("all_ids"))
-                .select(
-                    "band_id",
-                    "band_hash",
-                    F.greatest(
-                        F.size("all_ids") - cfg.bucket_cap, F.lit(0)
-                    ).alias("overflow"),
-                    F.slice("all_ids", 1, cfg.bucket_cap).alias("ids"),
-                )
-                .localCheckpoint(eager=False)
-            )
+            # Cap the store side per band bucket with the SAME salted
+            # two-level aggregation as the batch path (capped_id_buckets): a
+            # hot band shared by m store docs and n new docs would otherwise
+            # fan out m*n rows unbounded, and a single-level collect_list
+            # would materialize the hot band's full store-side id list in one
+            # aggregation buffer before any cap applied. Truncation is
+            # metered, never silent.
+            store_buckets = capped_id_buckets(
+                explode_bands(store, cfg), ["band_id", "band_hash"],
+                cfg.bucket_cap,
+            ).localCheckpoint(eager=False)
             _log_capped(
                 store_buckets.filter(F.col("overflow") > 0).select("overflow"),
                 "new-vs-store",
@@ -214,9 +271,22 @@ class IncrementalDedup:
         hits.select(HIT_COLS).write.mode("overwrite").parquet(
             f"{self.hits_dir}/batch_id={batch_id}"
         )
-        sigs_new.write.mode("overwrite").parquet(
+        # Compaction: once the store spans compact_every partitions, this
+        # batch's partition absorbs the whole LIVE row set (``store`` is
+        # already latest-per-doc_id deduped and anti-joined against this
+        # batch, so superseded rows are dropped here — the store converges to
+        # O(live urls) rows, not O(deliveries)). The subsumed partitions are
+        # reclaimed at the NEXT batch (see _reclaim_subsumed); until then the
+        # read-side dedupe makes their presence harmless, and a replay of
+        # this batch recomputes the identical compacted partition.
+        compacting = store is not None and len(prior) + 1 >= self.compact_every > 1
+        store_out = sigs_new.unionByName(store) if compacting else sigs_new
+        store_out.write.mode("overwrite").parquet(
             f"{self.store_dir}/batch_id={batch_id}"
         )
+        if compacting:
+            with open(os.path.join(self.store_dir, "_compacted_at"), "w") as f:
+                f.write(str(batch_id))
 
     def hits(self) -> DataFrame:
         # partition discovery restores batch_id from the directory names

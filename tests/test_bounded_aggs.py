@@ -38,6 +38,31 @@ def test_exact_groups_bounded_members(spark):
     assert list(g["member_urls"]) == all_urls[:CAP]
 
 
+def test_exact_dup_groups_capped_listing_face(spark):
+    """The query/listing face (dedup_ops.exact_dup_groups) must offer the same
+    bounded-buffer option as the pipeline face: a planted 10^4-member
+    identical-text group with members_cap set yields a capped doc_ids list,
+    the TRUE size in n_dups (so truncation = n_dups - size(doc_ids) is
+    nonzero and in-band), and cap=None keeps the oracle-exact full listing."""
+    from replicheck_spark.operators.dedup_ops import exact_dup_groups
+
+    docs = spark.range(N_BIG).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text").alias("text"),
+        F.format_string("s%d", F.pmod("id", F.lit(3))).alias("source"),
+    )
+    g = exact_dup_groups(docs, members_cap=CAP).collect()
+    assert len(g) == 1
+    assert g[0]["n_dups"] == N_BIG                      # true size kept
+    assert len(g[0]["doc_ids"]) == CAP                  # buffer bounded
+    assert g[0]["n_dups"] - len(g[0]["doc_ids"]) > 0    # truncation metered
+    assert list(g[0]["doc_ids"]) == list(range(CAP))    # cap smallest kept
+    assert g[0]["cross_source"]
+    # default stays oracle-exact (full member list)
+    full = exact_dup_groups(docs).collect()
+    assert len(full[0]["doc_ids"]) == N_BIG
+
+
 def test_clusters_bounded_members(spark):
     import datetime
 

@@ -90,3 +90,35 @@ def test_pipe_tool_nulls_are_valid_json_and_ints_stay_ints(spark, tmp_path):
     ).collect()
     kinds = sorted(r["finding"] for r in out)
     assert kinds == ["int"] * 3 + ["null"] * 3
+
+
+NONFINITE_TOOL = """\
+import json, sys
+for line in sys.stdin:
+    r = json.loads(line)  # strict JSON: Infinity/NaN tokens would raise here
+    print(json.dumps({"doc_id": r["doc_id"],
+                      "finding": "null" if r["score"] is None else "num",
+                      "pid": 0}))
+"""
+
+
+def test_pipe_tool_nonfinite_floats_become_null_not_task_death(spark, tmp_path):
+    """inf/-inf/NaN in a float column must serialize as JSON null: with
+    allow_nan=False a single non-finite value would otherwise raise
+    ValueError in json.dumps and kill the whole task instead of producing a
+    line the tool can reject per-row."""
+    tool = tmp_path / "nonfinite.py"
+    tool.write_text(NONFINITE_TOOL)
+    df = spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, float("inf"))
+        .when(F.col("id") == 1, float("-inf"))
+        .when(F.col("id") == 2, float("nan"))
+        .otherwise(1.5)
+        .alias("score"),
+    )
+    out = pipe_tool(
+        df, [sys.executable, str(tool)], ["doc_id", "score"], OUT_SCHEMA
+    ).collect()
+    kinds = sorted(r["finding"] for r in out)
+    assert kinds == ["null"] * 3 + ["num"]

@@ -21,7 +21,9 @@ def test_iceberg_exists_uses_catalog_table_names():
     spark = _fake_spark()
     io = TableIO(spark, "/ckpt", "run7", iceberg_catalog="ice.db")
     assert io.exists("signatures") is True
-    spark.catalog.tableExists.assert_called_once_with("ice.db.run7_signatures")
+    spark.catalog.tableExists.assert_called_once_with(
+        "ice.db.run7_841aaa70_signatures"
+    )
 
 
 def test_iceberg_write_uses_writeTo_createOrReplace():
@@ -29,7 +31,7 @@ def test_iceberg_write_uses_writeTo_createOrReplace():
     io = TableIO(spark, "/ckpt", "run7", iceberg_catalog="ice.db")
     df = MagicMock(name="df")
     io.write("edges", df)
-    df.writeTo.assert_called_once_with("ice.db.run7_edges")
+    df.writeTo.assert_called_once_with("ice.db.run7_841aaa70_edges")
     df.writeTo.return_value.createOrReplace.assert_called_once_with()
     df.write.mode.assert_not_called()  # parquet path must not run
 
@@ -38,7 +40,7 @@ def test_iceberg_read_uses_read_table():
     spark = _fake_spark()
     io = TableIO(spark, "/ckpt", "run7", iceberg_catalog="ice.db")
     io.read("labels")
-    spark.read.table.assert_called_once_with("ice.db.run7_labels")
+    spark.read.table.assert_called_once_with("ice.db.run7_841aaa70_labels")
 
 
 def test_iceberg_run_id_sanitized_to_sql_identifier():
@@ -50,8 +52,21 @@ def test_iceberg_run_id_sanitized_to_sql_identifier():
     io = TableIO(spark, "/ckpt", "2026-08-17-a", iceberg_catalog="ice.db")
     io.exists("docs")
     spark.catalog.tableExists.assert_called_once_with(
-        "ice.db.t2026_08_17_a_docs"
+        "ice.db.t2026_08_17_a_7df129aa_docs"
     )
+
+
+def test_iceberg_run_id_mapping_is_injective():
+    """Sanitization alone maps '2026-08-17-a' and '2026_08_17_a' to the same
+    identifier, so one run could silently resume the other's checkpoint
+    tables; the sha1 tag of the RAW run_id must keep them distinct."""
+    spark = _fake_spark()
+    a = TableIO(spark, "/ckpt", "2026-08-17-a", iceberg_catalog="ice.db")
+    b = TableIO(spark, "/ckpt", "2026_08_17_a", iceberg_catalog="ice.db")
+    assert a._table("docs") != b._table("docs")
+    # deterministic: same run_id always resolves the same table (resume)
+    c = TableIO(spark, "/ckpt", "2026-08-17-a", iceberg_catalog="ice.db")
+    assert a._table("docs") == c._table("docs")
 
 
 def test_parquet_default_untouched(tmp_path):

@@ -324,3 +324,86 @@ def test_store_exact_hit_is_single_canonical_row(spark, tmp_path):
             if r["url"] == "https://c.example/3" and r["kind"] == "exact"]
     assert len(hits) == 1, hits
     assert hits[0]["dup_of"] == "https://a.example/1"
+
+
+def test_stale_signature_superseded_across_nonadjacent_batches(spark, tmp_path):
+    """Regression (r4 review): the current batch's anti-join only removes
+    store rows re-delivered in THIS batch. A url delivered in batch 0 and
+    re-delivered with CHANGED content in batch 1 left both rows in the store
+    (two batch_id partitions, one doc_id); from batch 2 on, a new doc
+    matching the url's OLD content was flagged as an exact dup of content
+    the url no longer has. Latest-per-doc_id on store read must win."""
+    from replicheck_spark.streaming.incremental import IncrementalDedup
+
+    old = " ".join(f"t{i}" for i in range(120))
+    new = " ".join(f"n{i}" for i in range(120))
+    handler = IncrementalDedup(
+        spark, str(tmp_path / "store"), DedupConfig(), str(tmp_path / "hits")
+    )
+
+    def batch_df(rows):
+        return spark.createDataFrame(pages_to_pandas(rows))
+
+    handler.process_batch(batch_df([_row("https://a.example/1", old)]), 0)
+    # re-crawl: /1's content CHANGED
+    handler.process_batch(batch_df([_row("https://a.example/1", new)]), 1)
+    # batch 2: /b matches /1's STALE content, /c matches its LIVE content
+    handler.process_batch(
+        batch_df([_row("https://b.example/2", old),
+                  _row("https://c.example/3", new)]), 2)
+    hits = spark.read.parquet(str(tmp_path / "hits")).collect()
+    by_url = {r["url"]: r for r in hits}
+    # live content match IS a dup of /1 ...
+    assert by_url["https://c.example/3"]["kind"] == "exact"
+    assert by_url["https://c.example/3"]["dup_of"] == "https://a.example/1"
+    # ... but nothing in the corpus currently holds `old`, so /b is fresh
+    assert "https://b.example/2" not in by_url, (
+        "stale store signature resurrected: /b flagged as dup of content "
+        "/1 no longer has"
+    )
+
+
+def test_store_compaction_bounds_rows_to_live_urls(spark, tmp_path):
+    """With compact_every=3 and repeated re-deliveries, the store must
+    converge to one row per LIVE url (not one per delivery), subsumed
+    partitions must be reclaimed one batch after the compaction commits, and
+    dedup results must be unaffected."""
+    import os
+
+    from replicheck_spark.streaming.incremental import IncrementalDedup
+
+    texts = {u: " ".join(f"{u}w{i}" for i in range(120)) for u in "abc"}
+    handler = IncrementalDedup(
+        spark, str(tmp_path / "store"), DedupConfig(), str(tmp_path / "hits"),
+        compact_every=3,
+    )
+
+    def batch_df(rows):
+        return spark.createDataFrame(pages_to_pandas(rows))
+
+    def url(u):
+        return f"https://{u}.example/{u}"
+
+    handler.process_batch(batch_df([_row(url("a"), texts["a"])]), 0)
+    handler.process_batch(batch_df([_row(url("b"), texts["b"])]), 1)
+    # batch 2 re-delivers both and adds c -> triggers compaction (3 dirs)
+    handler.process_batch(
+        batch_df([_row(url("a"), texts["a"]), _row(url("b"), texts["b"]),
+                  _row(url("c"), texts["c"])]), 2)
+    assert os.path.exists(str(tmp_path / "store" / "_compacted_at"))
+    # batch 3 (post-compaction): reclaim happens, dedup vs store still works
+    handler.process_batch(batch_df([_row("https://d.example/d", texts["a"])]), 3)
+
+    dirs = sorted(
+        d for d in os.listdir(str(tmp_path / "store"))
+        if d.startswith("batch_id=")
+    )
+    assert dirs == ["batch_id=2", "batch_id=3"], dirs  # 0 and 1 reclaimed
+    store = spark.read.parquet(str(tmp_path / "store"))
+    # 3 deliveries of a, 2 of b, 1 of c, 1 of d -> exactly 4 live rows
+    assert store.count() == 4
+    assert store.select("doc_id").distinct().count() == 4
+    # /d is an exact copy of a's live content -> still detected vs store
+    hits = {(r["url"], r["dup_of"], r["kind"])
+            for r in spark.read.parquet(str(tmp_path / "hits")).collect()}
+    assert ("https://d.example/d", url("a"), "exact") in hits
