@@ -186,45 +186,63 @@ def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float
     return rs.randn(n_planes, dim).tolist()
 
 
-def _log_overflow_on_execute(bucketed: DataFrame, where: str) -> DataFrame:
-    """Capped work is logged, never silent (SURVEY.md §4.2 rule 1) — but
-    LAZILY: the overflow total rides the bucket plan as a ``df.observe``
-    metric and a daemon thread logs it when the caller's FIRST action
-    materializes the query. Building the DataFrame stays free of Spark jobs
-    (round 2 ran an eager .first() here, which executed the whole LSH
-    bucketing at plan-construction time — one full extra job per build, and
-    an API-laziness break flagged by review). If the plan never executes the
-    thread just parks (daemon, reclaimed at exit).
+# Pending self-metering observations from bare-API calls (no caller-supplied
+# Observation): (Observation, label) tuples, drained non-blockingly — NO
+# background thread anywhere (the r4 daemon-thread fallback parked one thread
+# per bare-operator build for the life of the process).
+_PENDING_OVERFLOW: list = []
 
-    MUST be applied downstream of (after) any lazy ``localCheckpoint`` and
-    with none added later: creating a lazy checkpoint downstream of an
-    unresolved observe fires a build-time listener event with empty
-    accumulators that resolves the Observation to zero forever (measured on
-    Spark 4.1.2 — the r3 call order had the checkpoint after this observe,
-    so the truncation warning could never fire)."""
+
+def _resolved_overflow_total(obs) -> int | None:
+    """Non-blocking Observation read: the resolved ``overflow_total`` if the
+    observed plan's first action has completed, else None. Uses the JVM
+    Observation's public ``getRowOrEmpty`` (Observation.get would BLOCK until
+    an action runs — unusable for a drain that must never stall the driver).
+    """
+    jo = getattr(obs, "_jo", None)
+    if jo is None:
+        return None  # never attached to a plan
+    try:
+        opt = jo.getRowOrEmpty()
+        if opt.isEmpty():
+            return None
+        from pyspark.serializers import CPickleSerializer
+
+        utils = getattr(
+            obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+        )
+        row = CPickleSerializer().loads(utils.toPyRow(opt.get()))
+        return int(row.asDict().get("overflow_total") or 0)
+    except Exception:  # pragma: no cover - JVM API drift: keep pending
+        return None
+
+
+def drain_overflow_logs() -> int:
+    """Flush resolved self-metering observations to the log (SURVEY.md §4.2
+    rule 1: capped work is logged, never silent) WITHOUT blocking: each
+    pending observation whose plan has executed emits its truncation warning
+    (if any) and is retired; unexecuted plans stay pending. Called
+    automatically at every ``lsh_bucket_candidates`` entry, so long-lived
+    drivers flush as they go; callers needing promptness (tests, notebook
+    use) call it directly after their action. Returns the number of
+    observations resolved this call."""
     import logging
-    import threading
 
-    from pyspark.sql import Observation
-
-    obs = Observation()
-    out = bucketed.observe(
-        obs, F.coalesce(F.sum("overflow"), F.lit(0)).alias("overflow_total")
-    )
-
-    def _wait_and_log():
-        total = int(obs.get["overflow_total"] or 0)
+    resolved = 0
+    for item in list(_PENDING_OVERFLOW):
+        obs, where = item
+        total = _resolved_overflow_total(obs)
+        if total is None:
+            continue
+        _PENDING_OVERFLOW.remove(item)
+        resolved += 1
         if total:
             logging.getLogger(__name__).warning(
                 "%s: %d bucket members beyond bucket_cap were truncated "
                 "(recall loss is attributable here; raise bucket_cap or "
                 "n_planes)", where, total,
             )
-
-    threading.Thread(
-        target=_wait_and_log, daemon=True, name=f"overflow-log-{where}"
-    ).start()
-    return out
+    return resolved
 
 
 def lsh_bucket_candidates(
@@ -242,13 +260,17 @@ def lsh_bucket_candidates(
     touching bucket granularity. JVM-side throughout: the plane matrices
     enter the plan as literal arrays; dots via aggregate/zip_with; no Python.
 
-    Metering modes (both attach downstream of the bucket checkpoint, where
-    the metric survives — see _log_overflow_on_execute): pass
-    ``observation`` (a ``pyspark.sql.Observation``) to drain
-    ``overflow_total`` yourself after the first consuming action — no
-    background thread is spawned; or pass ``meter`` (a label) for the
-    self-logging daemon-thread fallback used by the bare operator API.
+    Metering modes (both attach the observe downstream of the bucket
+    checkpoint — an observe UPSTREAM of a lazy localCheckpoint resolves to
+    zero forever on Spark 4.1.2, see candidate_pairs): pass ``observation``
+    (a ``pyspark.sql.Observation``) to drain ``overflow_total`` yourself
+    after the first consuming action; or pass ``meter`` (a label) and the
+    operator self-meters through the pending-drain registry — no background
+    thread on EITHER path; resolved totals are flushed to the log
+    non-blockingly at the next operator call or an explicit
+    ``drain_overflow_logs()``.
     """
+    drain_overflow_logs()
     def bucket_col(table: int):
         planes = make_hyperplanes(dim, n_planes, seed + table)
         bits = []
@@ -308,7 +330,13 @@ def lsh_bucket_candidates(
             F.coalesce(F.sum("overflow"), F.lit(0)).alias("overflow_total"),
         )
     elif meter is not None:
-        grouped = _log_overflow_on_execute(grouped, meter)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        grouped = grouped.observe(
+            obs, F.coalesce(F.sum("overflow"), F.lit(0)).alias("overflow_total")
+        )
+        _PENDING_OVERFLOW.append((obs, meter))
     capped = grouped.filter(F.col("overflow") > 0).select(
         "table_id", "bucket", "overflow"
     )
@@ -383,20 +411,58 @@ def _make_cell_udf(cent: "np.ndarray", nprobe: int):
     return cells.asNondeterministic()
 
 
+def auto_n_cells(n: int, floor: int = 4, ceil: int = 65536) -> int:
+    """IVF practice: n_cells ~ sqrt(N) balances cell count against cell size
+    (per-query work = nprobe * N / n_cells candidates + n_cells centroid
+    dots; sqrt minimizes the sum). Clamped: tiny corpora keep enough cells
+    to be meaningful, and the centroid matrix stays driver/broadcast-sized
+    (65536 cells x 1k dims x 8B = 0.5 GB) at any N."""
+    import math
+
+    return max(floor, min(ceil, int(math.sqrt(max(n, 1)))))
+
+
+def ivf_assign(emb: DataFrame, cent: "np.ndarray") -> DataFrame:
+    """Corpus -> cell assignment: (vec_id, embedding, cell), one Arrow-batch
+    matmul per batch against the broadcast centroid matrix. The shared
+    building block of ``knn_ivf`` (candidate equi-join side) and
+    ``ivf_cell_occupancy`` (the skew meter)."""
+    corpus_cell = _make_cell_udf(cent, nprobe=1)
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.element_at(corpus_cell(F.col("embedding")), 1).alias("cell"),
+    )
+
+
+def ivf_cell_occupancy(assigned: DataFrame) -> DataFrame:
+    """Per-cell occupancy frame (cell, n_vecs) from an ``ivf_assign`` output
+    — cell-size skew made inspectable instead of a docstring claim (same
+    never-silent discipline as bucket truncation metering: a hot cell is the
+    IVF analog of a hot LSH bucket, and at 10^12 vectors an unbalanced
+    quantizer silently degrades every probe touching the fat cell). One
+    partial+final hash agg; join against it or ``orderBy(desc('n_vecs'))``
+    for the skew report."""
+    return assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+
+
 def knn_ivf(
-    emb: DataFrame, n_queries: int = 10, k: int = 5, n_cells: int = 16,
-    nprobe: int = 4, sample: int = 4096, iters: int = 10, seed: int = 42,
+    emb: DataFrame, n_queries: int = 10, k: int = 5,
+    n_cells: int | None = 16, nprobe: int = 4, sample: int = 4096,
+    iters: int = 10, seed: int = 42,
 ) -> DataFrame:
     """ANN top-k via an IVF coarse quantizer (the second scale path next to
     ``knn_lsh``): corpus vectors land in exactly one k-means cell, queries
     probe their ``nprobe`` nearest cells, and exact cosine re-ranks only the
     probed cells' members — the candidate join is an equi-join on cell id,
     never a cross product. At 10^12 vectors the per-query work is
-    ``nprobe/n_cells`` of the corpus (with n_cells scaled to ~sqrt(N) as IVF
-    practice dictates); cell-size skew is visible in the cell assignment
-    table and splittable by AQE like any hot key. Approximate by
-    construction -> rows-only driver check; recall@k vs brute force gated in
-    tests/test_similarity_recall.py."""
+    ``nprobe/n_cells`` of the corpus. ``n_cells=None`` auto-scales to
+    ~sqrt(N) (one metadata-only count job), the standard IVF sizing; cell
+    skew is surfaced by ``ivf_cell_occupancy`` over ``ivf_assign``.
+    Approximate by construction -> rows-only driver check; recall@k vs brute
+    force gated in tests/test_similarity_recall.py."""
+    if n_cells is None:
+        n_cells = auto_n_cells(emb.count())
     cent = train_ivf_centroids(
         emb, n_cells=n_cells, sample=sample, iters=iters, seed=seed
     )
@@ -404,12 +470,11 @@ def knn_ivf(
         return emb.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int"
         )
-    corpus_cell = _make_cell_udf(cent, nprobe=1)
     query_cells = _make_cell_udf(cent, nprobe=nprobe)
-    corpus = emb.select(
+    corpus = ivf_assign(emb, cent).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        F.element_at(corpus_cell(F.col("embedding")), 1).alias("cell"),
+        "cell",
     )
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),

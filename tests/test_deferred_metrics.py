@@ -74,25 +74,51 @@ def test_similarity_observation_param_no_thread_real_value(spark):
     assert int(obs.get["overflow_total"]) > 0
 
 
-def test_similarity_meter_thread_logs_after_action(spark, caplog):
+def test_similarity_meter_logs_without_threads(spark, caplog):
+    """The bare-operator API (meter label, no caller Observation) must log
+    planted truncation AND spawn no background thread at any point: build,
+    action, or drain (the r4 fallback parked one daemon thread per build)."""
     import logging
-    import time
 
     emb = _planted_emb(spark)
+    before = threading.active_count()
     with caplog.at_level(logging.WARNING, logger="replicheck_spark.operators.similarity"):
         pairs, _ = similarity.lsh_bucket_candidates(
             emb, dim=4, n_planes=4, bucket_cap=2, meter="knn_lsh_test"
         )
+        assert threading.active_count() == before  # build spawns nothing
         pairs.count()
-        # the daemon thread resolves the observation asynchronously
-        for _ in range(100):
-            if any("knn_lsh_test" in r.message for r in caplog.records):
-                break
-            time.sleep(0.05)
+        # non-blocking flush: the observation resolved at the action above
+        assert similarity.drain_overflow_logs() >= 1
+    assert threading.active_count() == before      # drain spawns nothing
     assert any(
         "knn_lsh_test" in r.message and "truncated" in r.message
         for r in caplog.records
     ), "bucket truncation warning never fired (silent capped work)"
+
+
+def test_meter_pending_until_action_then_flushed_by_next_operator_call(spark, caplog):
+    """An unexecuted metered plan stays pending (drain must not block on it);
+    once its action runs, the NEXT operator invocation flushes its warning —
+    the long-lived-driver flow, with zero threads."""
+    import logging
+
+    emb = _planted_emb(spark)
+    with caplog.at_level(logging.WARNING, logger="replicheck_spark.operators.similarity"):
+        pairs, _ = similarity.lsh_bucket_candidates(
+            emb, dim=4, n_planes=4, bucket_cap=2, meter="first_op"
+        )
+        assert similarity.drain_overflow_logs() == 0  # no action yet: pending
+        assert not any("first_op" in r.message for r in caplog.records)
+        pairs.count()
+        # entry of a subsequent operator call flushes the resolved pending
+        pairs2, _ = similarity.lsh_bucket_candidates(
+            emb, dim=4, n_planes=4, bucket_cap=2, observation=None, meter=None
+        )
+    assert any(
+        "first_op" in r.message and "truncated" in r.message
+        for r in caplog.records
+    )
 
 
 def test_embedding_dup_pairs_observation_resolves_on_broadcast_path(spark):

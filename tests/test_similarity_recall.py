@@ -106,6 +106,52 @@ def test_knn_ivf_deterministic(spark, emb):
     assert run() == run()
 
 
+def test_ivf_cell_occupancy_matches_planted_cells(spark):
+    """The occupancy frame must report the PLANTED cell sizes: 4 well-
+    separated clusters of known sizes -> spherical k-means with n_cells=4
+    recovers them, and ivf_cell_occupancy counts each exactly. Also checks
+    every vector lands in exactly one cell (occupancy sums to N)."""
+    import numpy as np
+
+    from replicheck_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    sizes = [50, 100, 25, 75]
+    rows, vid = [], 0
+    for c, sz in zip(range(4), sizes):
+        pts = centers[c] + 0.05 * rng.normal(size=(sz, 32))
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cent = similarity.train_ivf_centroids(emb, n_cells=4, sample=4096)
+    occ = similarity.ivf_cell_occupancy(similarity.ivf_assign(emb, cent))
+    got = sorted(r["n_vecs"] for r in occ.collect())
+    assert got == sorted(sizes), got
+    assert sum(got) == sum(sizes)  # every vector in exactly one cell
+
+
+def test_auto_n_cells_sqrt_scaling(spark):
+    """n_cells=None auto-scales ~sqrt(N) (clamped), and the auto path still
+    returns a valid top-k frame."""
+    from replicheck_spark.operators import similarity
+
+    assert similarity.auto_n_cells(0) == 4           # floor
+    assert similarity.auto_n_cells(100) == 10
+    assert similarity.auto_n_cells(1_000_000) == 1000
+    assert similarity.auto_n_cells(10**12) == 65536  # centroid-matrix ceiling
+
+    rows = [(i, [float(i % 7), 1.0, 0.5]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.knn_ivf(emb, n_queries=3, k=2, n_cells=None, nprobe=10)
+    got = out.collect()
+    assert {r["query_id"] for r in got} <= {0, 1, 2}
+    assert all(1 <= r["rank"] <= 2 for r in got)
+
+
 def test_lsh_bucket_truncation_is_metered(spark, emb):
     """A tiny bucket_cap MUST surface overflow in the capped frame — silent
     truncation makes recall loss unattributable."""
