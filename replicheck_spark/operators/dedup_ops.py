@@ -15,10 +15,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from replicheck_spark.config import DedupConfig
-from replicheck_spark.functions.udfs import make_signature_udf
+from replicheck_spark.functions.udfs import (
+    make_signature_from_hashes_udf,
+    make_signature_udf,
+)
 from replicheck_spark.operators.confirm import confirm_pairs
 from replicheck_spark.operators.exact import capped_members_agg
 from replicheck_spark.operators.lsh import candidate_pairs, explode_bands
+
+
+def _sig_col(cfg: DedupConfig, text_col: str = "text"):
+    """The signature struct column for a raw-text documents table, honoring
+    cfg.shingle_source (see DedupConfig / signatures.shingle_hash_expr)."""
+    if cfg.shingle_source == "jvm":
+        from replicheck_spark.operators.signatures import shingle_hash_expr
+
+        u = make_signature_from_hashes_udf(
+            cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.seed
+        )
+        return u(shingle_hash_expr(text_col, cfg.shingle_k))
+    u = make_signature_udf(
+        cfg.shingle_k, cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.seed
+    )
+    return u(F.col(text_col))
 
 
 def exact_dup_groups(
@@ -194,15 +213,12 @@ def minhash_lsh_pairs(
     cfg = cfg if threshold is None else DedupConfig(
         **{**cfg.to_dict(), "min_similarity": threshold}
     )
-    sig_udf = make_signature_udf(
-        cfg.shingle_k, cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.seed
-    )
     sigs = (
         docs.select(
             F.col("doc_id"),
             F.col("doc_id").cast("string").alias("url"),
             F.sha2("text", 256).alias("sha256"),
-            sig_udf(F.col("text")).alias("sig"),
+            _sig_col(cfg).alias("sig"),
         )
         .select(
             "doc_id", "url", "sha256",
@@ -240,13 +256,10 @@ def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     hamming_max: (a, b, hamming). Rows-only correctness check (SimHash is not
     SQL-expressible). Same single-evaluation (localCheckpoint) and
     member-expansion discipline as minhash_lsh_pairs."""
-    sig_udf = make_signature_udf(
-        cfg.shingle_k, cfg.num_perm, cfg.lsh_bands, cfg.lsh_rows, cfg.seed
-    )
     sigs = docs.select(
         "doc_id",
         F.sha2("text", 256).alias("sha256"),
-        sig_udf(F.col("text")).alias("sig"),
+        _sig_col(cfg).alias("sig"),
     ).select(
         "doc_id", "sha256",
         F.col("sig.simhash").alias("simhash"),

@@ -112,6 +112,32 @@ def get_spark(
     if shm:
         os.makedirs(shm, exist_ok=True)
         b = b.config("spark.local.dir", shm)
+    # local-cluster[N,C,M] (the multi-JVM scaling proxy: N separate executor
+    # heaps/GCs instead of local mode's single shared JVM) needs three confs
+    # local mode does not: executor memory must match the worker's offer (M
+    # MB from the master string — the 1g default would waste the worker),
+    # executor python workers must find this package (executors are fresh
+    # JVMs; cloudpickled pandas UDFs import replicheck_spark by reference),
+    # and standalone workers read SPARK_LOCAL_DIRS env, not spark.local.dir.
+    import re as _re
+
+    lc = _re.fullmatch(r"local-cluster\[(\d+),(\d+),(\d+)\]", master)
+    if lc:
+        mem_mb = int(lc.group(3))
+        b = b.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", f"{mem_mb}m"),
+        )
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        b = b.config(
+            "spark.executorEnv.PYTHONPATH",
+            os.environ.get("PYTHONPATH") or repo_root,
+        )
+        if shm:
+            os.environ.setdefault("SPARK_LOCAL_DIRS", shm)
+        import sys as _sys
+
+        os.environ.setdefault("PYSPARK_PYTHON", _sys.executable)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
