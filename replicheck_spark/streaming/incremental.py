@@ -300,6 +300,7 @@ def start_incremental_dedup(
     hits_dir: str,
     checkpoint_dir: str,
     cfg: DedupConfig | None = None,
+    compact_every: int = 8,
 ):
     """File-source stream of pages parquet -> incremental dedup query."""
     cfg = cfg or DedupConfig()
@@ -307,7 +308,8 @@ def start_incremental_dedup(
         "url string, warc_ts timestamp, html binary, text string, lang string"
     )
     stream = spark.readStream.schema(pages_schema).parquet(source_dir)
-    handler = IncrementalDedup(spark, store_dir, cfg, hits_dir)
+    handler = IncrementalDedup(spark, store_dir, cfg, hits_dir,
+                               compact_every=compact_every)
     return (
         stream.writeStream.foreachBatch(handler.process_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -112,12 +112,25 @@ def run_shuffle(spark, rows: int) -> float:
     return time.monotonic() - t0
 
 
+def _master_total_cores(master: str) -> int:
+    import re
+
+    m = re.fullmatch(r"local\[(\d+)\]", master)
+    if m:
+        return int(m.group(1))
+    m = re.fullmatch(r"local-cluster\[(\d+),(\d+),\d+\]", master)
+    if m:
+        return int(m.group(1)) * int(m.group(2))
+    raise ValueError(f"unsupported master {master!r}")
+
+
 def main_single(args) -> None:
     from replicheck_spark.session import get_spark
 
+    master = args.master or f"local[{args.cores}]"
     spark = get_spark(
         f"microbench_{args.primitive}_{args.cores}",
-        master=f"local[{args.cores}]",
+        master=master,
         shuffle_partitions=256,
     )
     fn = {"udf": run_udf, "udftext": run_udftext,
@@ -130,10 +143,17 @@ def main_single(args) -> None:
 
 
 def main(args) -> None:
-    def measure(primitive: str, cores: int) -> float:
+    # master strings for the two levels: explicit (--master-low/high, e.g.
+    # local-cluster[1,8,16384] vs local-cluster[4,8,16384] for the multi-JVM
+    # envelope) or the classic local[N] pair from --n-low/--n-high
+    m_lo = args.master_low or f"local[{args.n_low}]"
+    m_hi = args.master_high or f"local[{args.n_high}]"
+    lo, hi = _master_total_cores(m_lo), _master_total_cores(m_hi)
+
+    def measure(primitive: str, master: str) -> float:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single",
-             "--primitive", primitive, "--cores", str(cores),
+             "--primitive", primitive, "--master", master,
              "--rows", str(args.rows)],
             capture_output=True, text=True,
             env={**os.environ, "PYTHONPATH": REPO},
@@ -141,32 +161,30 @@ def main(args) -> None:
         lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
         if proc.returncode != 0 or not lines:
             raise RuntimeError(
-                f"microbench child failed ({primitive}, local[{cores}], "
+                f"microbench child failed ({primitive}, {master}, "
                 f"rc={proc.returncode}):\n{proc.stderr[-2000:]}"
             )
         return json.loads(lines[-1])["wall_sec"]
 
-    lo, hi = args.n_low, args.n_high
     out = {}
     primitives = (args.only,) if args.only else ("udf", "udftext", "shuffle")
     for primitive in primitives:
-        walls: dict[int, list[float]] = {lo: [], hi: []}
+        walls: dict[str, list[float]] = {m_lo: [], m_hi: []}
         # interleave with alternating block order (lo-hi, hi-lo, ...) for any
         # repeat count — a fixed 6-element order silently capped repeats at 3
         order = [
-            c
+            m
             for i in range(args.repeats)
-            for c in ([lo, hi] if i % 2 == 0 else [hi, lo])
+            for m in ([m_lo, m_hi] if i % 2 == 0 else [m_hi, m_lo])
         ]
-        for cores in order:
-            w = measure(primitive, cores)
-            walls[cores].append(w)
-            print(f"[microbench] {primitive} local[{cores}]: {w:.2f}s",
-                  flush=True)
-        eff = (min(walls[lo]) / min(walls[hi])) / (hi / lo)
+        for master in order:
+            w = measure(primitive, master)
+            walls[master].append(w)
+            print(f"[microbench] {primitive} {master}: {w:.2f}s", flush=True)
+        eff = (min(walls[m_lo]) / min(walls[m_hi])) / (hi / lo)
         out[primitive] = {
-            f"local[{lo}]": min(walls[lo]),
-            f"local[{hi}]": min(walls[hi]),
+            m_lo: min(walls[m_lo]),
+            m_hi: min(walls[m_hi]),
             "all_walls": walls,
             "efficiency": round(eff, 3),
         }
@@ -180,6 +198,13 @@ if __name__ == "__main__":
     p.add_argument("--only", choices=["udf", "udftext", "shuffle"],
                    help="run just one primitive (lets each use its own --rows)")
     p.add_argument("--cores", type=int, default=8)
+    p.add_argument("--master", default=None,
+                   help="(single mode) full master string; overrides --cores")
+    p.add_argument("--master-low", default=None,
+                   help="master string for the low level (e.g. "
+                   "local-cluster[1,8,16384]); overrides --n-low")
+    p.add_argument("--master-high", default=None,
+                   help="master string for the high level")
     p.add_argument("--rows", type=int, default=64_000_000)
     p.add_argument("--n-low", type=int, default=8)
     p.add_argument("--n-high", type=int, default=32)
