@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_cluster_labels(spark, sf):
         return dedup_ops.cluster_labels(docs(spark, sf), k=5, threshold=0.8)
 
+    def q_near_dedup_survivors(spark, sf):
+        return dedup_ops.near_dedup_survivors(docs(spark, sf), k=5,
+                                              threshold=0.8)
+
     def q_substr_pairs(spark, sf):
         from replicheck_spark.operators.substr import substr_pairs
 
@@ -232,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "cluster_labels": q_cluster_labels,
+        "near_dedup_survivors": q_near_dedup_survivors,
         "substr_pairs": q_substr_pairs,
         "block_exact_dups": q_block_exact_dups,
         "block_near_doc_pairs": q_block_near_doc_pairs,
@@ -447,6 +452,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY node
+        """,
+        "near_dedup_survivors": f"""
+            WITH RECURSIVE {_SHINGLES_CTE.strip().rstrip()},
+            pairs AS (
+                SELECT a, b FROM inter
+                WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.8
+            ),
+            e AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION SELECT b, a FROM pairs),
+            walk(node, reach) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT w.node, e.dst FROM walk w JOIN e ON w.reach = e.src
+            ),
+            lab AS (SELECT node AS doc_id, min(reach) AS cluster_id
+                    FROM walk GROUP BY node)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d
+            WHERE d.doc_id NOT IN
+                  (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
         """,
         "substr_pairs": """
             WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS t

@@ -251,6 +251,35 @@ def cluster_labels(docs: DataFrame, k: int = 5, threshold: float = 0.8) -> DataF
     return connected_components(edges)
 
 
+def near_dedup_survivors(
+    docs: DataFrame, k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """APPLY near-dedup to the corpus: keep exactly one canonical doc per
+    near-duplicate cluster (the min doc_id — which IS ``cluster_id`` under
+    cluster_labels' min-reachable labeling) plus every unclustered doc. This
+    is the C4/RefinedWeb-style end product a training-data pipeline ships:
+    the deduplicated corpus itself, not the duplicate report.
+
+    Returns (doc_id, lang, source, n_chars) — the full surviving row set
+    minus the text payload (callers re-join text by doc_id when
+    materializing, keeping this frame cheap to checkpoint/verify).
+
+    Scale: the drop set is ``labels.filter(doc_id != cluster_id)`` — only
+    clustered non-canonical docs, a tiny fraction of a web corpus — and the
+    anti-join shuffles 8-byte keys; with the drop side far under the
+    broadcast threshold Spark broadcasts it, so the corpus pass is
+    shuffle-free. SQL-expressible (recursive-CTE closure + NOT IN),
+    driver-checked against DuckDB end to end.
+    """
+    labels = cluster_labels(docs, k=k, threshold=threshold)
+    dropped = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """SimHash near-dup pairs: LSH candidates filtered by Hamming <=
     hamming_max: (a, b, hamming). Rows-only correctness check (SimHash is not

@@ -74,3 +74,25 @@ def test_minhash_signature_udf_evaluated_once(planted):
     (vs 2 before the fix)."""
     plan = dedup_ops.minhash_lsh_pairs(planted, DedupConfig())._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan
+
+
+def test_near_dedup_survivors_keeps_canonical_and_singletons(spark):
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99)) + " CHANGED"
+    other = " ".join(f"zzz{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "crawl-a", len(base)),
+            (2, base, "en", "crawl-b", len(base)),
+            (3, near, "en", "crawl-a", len(near)),
+            (4, other, "de", "crawl-a", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dedup_ops.near_dedup_survivors(docs, k=5, threshold=0.8)
+    assert out.columns == ["doc_id", "lang", "source", "n_chars"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # cluster {1,2,3} (1=2 exact, 3 near both) keeps min doc_id 1 only;
+    # unrelated 4 survives untouched.
+    assert set(rows) == {1, 4}
+    assert rows[1]["source"] == "crawl-a" and rows[4]["lang"] == "de"
