@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_top_tokens(spark, sf):
         return textops.top_tokens(docs(spark, sf), k=20)
 
+    def q_repetition_stats(spark, sf):
+        return textops.repetition_stats(docs(spark, sf))
+
     def q_fingerprint(spark, sf):
         return textops.fingerprint(docs(spark, sf))
 
@@ -229,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "reading_complexity": q_reading_complexity,
         "top_tokens": q_top_tokens,
+        "repetition_stats": q_repetition_stats,
         "doc_fingerprint": q_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep_first": q_exact_dedup_keep_first,
@@ -405,6 +409,70 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY freq DESC, token ASC
             LIMIT 20
+        """,
+        # Gopher repetition filters (Rae et al. 2021 A1.1); the Spark side
+        # groups grams by xxhash64 of the token slice instead of the gram
+        # string — counts per distinct gram are identical, so the fractions
+        # match exactly.
+        "repetition_stats": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+            ex AS (
+              SELECT doc_id, 'g2' AS kind,
+                     unnest(list_transform(range(1, len(t)),
+                                           i -> t[i] || ' ' || t[i+1])) AS gram
+              FROM d
+              UNION ALL
+              SELECT doc_id, 'g5',
+                     unnest(list_transform(range(1, len(t) - 3),
+                                           i -> array_to_string(t[i:i+4], ' ')))
+              FROM d
+              UNION ALL
+              SELECT doc_id, 'line',
+                     unnest(list_filter(
+                         list_transform(string_split(text, chr(10)),
+                                        s -> trim(s)),
+                         s -> s <> ''))
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, kind, gram, count(*) AS c, length(gram) AS glen
+              FROM ex GROUP BY doc_id, kind, gram
+            ),
+            agg AS (
+              SELECT doc_id,
+                     sum(CASE WHEN kind='g2' THEN c END) AS g2_total,
+                     max(CASE WHEN kind='g2' THEN c END) AS g2_top,
+                     sum(CASE WHEN kind='g5' THEN c END) AS g5_total,
+                     sum(CASE WHEN kind='g5' AND c > 1 THEN c - 1 END) AS g5_dup,
+                     sum(CASE WHEN kind='g5' THEN glen * c END) AS g5_chars,
+                     sum(CASE WHEN kind='g5' AND c > 1 THEN glen * (c - 1) END)
+                       AS g5_dup_chars,
+                     sum(CASE WHEN kind='line' THEN c END) AS line_total,
+                     sum(CASE WHEN kind='line' AND c > 1 THEN c - 1 END) AS line_dup,
+                     sum(CASE WHEN kind='line' THEN glen * c END) AS line_chars,
+                     sum(CASE WHEN kind='line' AND c > 1 THEN glen * (c - 1) END)
+                       AS line_dup_chars
+              FROM c GROUP BY doc_id
+            ),
+            fr AS (
+              SELECT doc_id,
+                     CASE WHEN g2_total > 0 THEN CAST(coalesce(g2_top, 0) AS DOUBLE)
+                          / CAST(g2_total AS DOUBLE) ELSE 0.0 END AS top2gram_frac,
+                     CASE WHEN g5_total > 0 THEN CAST(coalesce(g5_dup, 0) AS DOUBLE)
+                          / CAST(g5_total AS DOUBLE) ELSE 0.0 END AS dup5gram_frac,
+                     CASE WHEN g5_chars > 0 THEN CAST(coalesce(g5_dup_chars, 0) AS DOUBLE)
+                          / CAST(g5_chars AS DOUBLE) ELSE 0.0 END AS dup5gram_char_frac,
+                     CASE WHEN line_total > 0 THEN CAST(coalesce(line_dup, 0) AS DOUBLE)
+                          / CAST(line_total AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+                     CASE WHEN line_chars > 0 THEN CAST(coalesce(line_dup_chars, 0) AS DOUBLE)
+                          / CAST(line_chars AS DOUBLE) ELSE 0.0 END AS dup_line_char_frac
+              FROM (SELECT doc_id FROM documents) LEFT JOIN agg USING (doc_id)
+            )
+            SELECT doc_id, top2gram_frac, dup5gram_frac, dup5gram_char_frac,
+                   dup_line_frac, dup_line_char_frac,
+                   top2gram_frac > 0.20 OR dup5gram_char_frac > 0.15
+                   OR dup_line_frac > 0.30 OR dup_line_char_frac > 0.20 AS flagged
+            FROM fr
         """,
         "exact_dup_groups": """
             SELECT sha256(text) AS text_sha,

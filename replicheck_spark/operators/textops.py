@@ -244,6 +244,132 @@ def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    top2gram_max: float = 0.20,
+    dup5gram_char_max: float = 0.15,
+    dup_line_max: float = 0.30,
+    dup_line_char_max: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021, appendix A1.1
+    — the public webtext repetition filters). Per doc:
+
+      top2gram_frac       occurrences of the most frequent word bigram / total
+                          bigrams
+      dup5gram_frac       occurrences beyond the first of repeated word
+                          5-grams / total 5-grams
+      dup5gram_char_frac  same, weighted by gram character length
+      dup_line_frac       occurrences beyond the first of repeated non-empty
+                          trimmed lines / total such lines
+      dup_line_char_frac  same, weighted by line character length
+      flagged             true when any metric crosses its Gopher threshold
+                          (defaults are the published ones: 0.20 / 0.15 /
+                          0.30 / 0.20)
+
+    Scale design: grams are never materialized as strings on the Spark side —
+    each n-gram is keyed by ``xxhash64`` of the token-array slice, so the
+    (doc_id, kind, gram) shuffle carries 8-byte keys instead of ~10-60-byte
+    strings, and partial aggregation combines repeats map-side. Character
+    lengths are computed with a JVM ``aggregate`` over the same slice (token
+    chars + n-1 separators), matching what ``length(gram_string)`` would give.
+    A 64-bit collision within one (doc, kind) merges two distinct grams'
+    counts; at 10^4 grams/doc that is ~1e-12 per doc — negligible even at
+    10^12 docs, and only perturbs a fraction, never drops a row. Everything is
+    codegen'd JVM expressions; one scan, one shuffle pair (gram agg + per-doc
+    agg), no UDF.
+    """
+    # kinded (doc_id, kind, gh, glen) rows; gh = xxhash64 gram key.
+    def _gram_rows(n: int, kind: str) -> DataFrame:
+        entry = F.expr(
+            f"transform(sequence(0, size(split(text, ' ')) - {n}), i -> "
+            f"struct(xxhash64(slice(split(text, ' '), i + 1, {n})) AS gh, "
+            f"aggregate(slice(split(text, ' '), i + 1, {n}), 0, "
+            f"(a, x) -> a + length(x)) + {n - 1} AS glen))"
+        )
+        guarded = F.when(F.size(tokens_col()) >= n, entry).otherwise(
+            F.expr("array()").cast("array<struct<gh:bigint,glen:int>>")
+        )
+        return docs.select(
+            "doc_id", F.lit(kind).alias("kind"), F.explode(guarded).alias("g")
+        ).select("doc_id", "kind", F.col("g.gh").alias("gh"), F.col("g.glen").alias("glen"))
+
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    line_rows = docs.select(
+        "doc_id", F.lit("line").alias("kind"), F.explode(lines).alias("line")
+    ).select(
+        "doc_id", "kind",
+        F.xxhash64("line").alias("gh"),
+        F.length("line").alias("glen"),
+    )
+
+    ex = _gram_rows(2, "g2").unionByName(_gram_rows(5, "g5")).unionByName(line_rows)
+    counts = ex.groupBy("doc_id", "kind", "gh").agg(
+        F.count("*").alias("c"), F.max("glen").alias("glen")
+    )
+
+    def _tot(kind):
+        return F.sum(F.when(F.col("kind") == kind, F.col("c")))
+
+    def _dup(kind):
+        return F.sum(
+            F.when((F.col("kind") == kind) & (F.col("c") > 1), F.col("c") - 1)
+        )
+
+    def _tot_chars(kind):
+        return F.sum(F.when(F.col("kind") == kind, F.col("glen") * F.col("c")))
+
+    def _dup_chars(kind):
+        return F.sum(
+            F.when(
+                (F.col("kind") == kind) & (F.col("c") > 1),
+                F.col("glen") * (F.col("c") - 1),
+            )
+        )
+
+    per_doc = counts.groupBy("doc_id").agg(
+        _tot("g2").alias("g2_total"),
+        F.max(F.when(F.col("kind") == "g2", F.col("c"))).alias("g2_top"),
+        _tot("g5").alias("g5_total"),
+        _dup("g5").alias("g5_dup"),
+        _tot_chars("g5").alias("g5_chars"),
+        _dup_chars("g5").alias("g5_dup_chars"),
+        _tot("line").alias("line_total"),
+        _dup("line").alias("line_dup"),
+        _tot_chars("line").alias("line_chars"),
+        _dup_chars("line").alias("line_dup_chars"),
+    )
+
+    def _frac(num: str, den: str):
+        return F.when(
+            F.col(den) > 0,
+            F.coalesce(F.col(num), F.lit(0)).cast("double")
+            / F.col(den).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    out = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            _frac("g2_top", "g2_total").alias("top2gram_frac"),
+            _frac("g5_dup", "g5_total").alias("dup5gram_frac"),
+            _frac("g5_dup_chars", "g5_chars").alias("dup5gram_char_frac"),
+            _frac("line_dup", "line_total").alias("dup_line_frac"),
+            _frac("line_dup_chars", "line_chars").alias("dup_line_char_frac"),
+        )
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("top2gram_frac") > top2gram_max)
+        | (F.col("dup5gram_char_frac") > dup5gram_char_max)
+        | (F.col("dup_line_frac") > dup_line_max)
+        | (F.col("dup_line_char_frac") > dup_line_char_max),
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 5, window: int = 8) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al. '03): k-gram rolling
     hashes, keep the min hash of every `window`-sized sliding window, distinct

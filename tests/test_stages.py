@@ -397,3 +397,53 @@ class TestReadingComplexity:
         assert r["n_complex"] == 5
         assert abs(r["fog"] - 22.0) < 1e-12
         assert r["severity"] == "High"
+
+
+class TestRepetitionStats:
+    def test_hand_computed_gopher_fractions(self, spark):
+        """repetition_stats matches hand-computed Gopher A1.1 fractions on
+        planted docs covering every metric, the flag thresholds, and the
+        degenerate empty/short cases."""
+        from replicheck_spark.operators.textops import repetition_stats
+
+        rows = [
+            # 7 bigrams, "a b" x3 -> top2 = 3/7; no repeated 5-gram.
+            (1, "a b a b a b c d"),
+            # lines after trim/drop-empty: x, y, x, "z z z z z z z z z z"
+            #   -> dup_line = 1/4; line chars 1+1+1+19=22, dup chars 1/22.
+            # the single-space split yields 12 tokens ("x\n", "y",
+            #   "\n\nx\nz", "z" x9) -> 8 5-grams, "z z z z z" x5 -> dup 4/8.
+            (2, "x\n y \n\nx\nz z z z z z z z z z"),
+            (3, ""),  # empty: all zero, not flagged
+            # "one two three four five" x3: 5-grams = 11 total; the window
+            #   repeats cyclically -> every gram occurs >1 except none... each
+            #   of the 5 rotations occurs 2 or 3 times: dup = 11 - 5 = 6/11.
+            (4, "one two three four five one two three four five one two three four five"),
+            (5, "u v w"),  # 2 bigrams, distinct -> top2 = 1/2 (still > 0.20)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+        assert abs(out[1]["top2gram_frac"] - 3 / 7) < 1e-12
+        assert out[1]["dup5gram_frac"] == 0.0
+        assert out[1]["flagged"]  # top2 3/7 > 0.20
+        assert abs(out[2]["dup_line_frac"] - 0.25) < 1e-12
+        assert abs(out[2]["dup_line_char_frac"] - 1 / 22) < 1e-12
+        assert abs(out[2]["dup5gram_frac"] - 0.5) < 1e-12
+        assert out[3]["top2gram_frac"] == 0.0
+        assert out[3]["dup_line_frac"] == 0.0
+        assert not out[3]["flagged"]
+        assert abs(out[4]["dup5gram_frac"] - 6 / 11) < 1e-12
+        # all 5-grams have equal char length here, so char-frac == count-frac
+        assert abs(out[4]["dup5gram_char_frac"] - 6 / 11) < 1e-12
+        assert out[4]["flagged"]  # dup5gram_char 6/11 > 0.15
+        assert abs(out[5]["top2gram_frac"] - 0.5) < 1e-12
+        assert out[5]["dup5gram_frac"] == 0.0
+
+    def test_no_python_udf_in_plan(self, spark):
+        """The whole operator is JVM expressions — no Arrow/Python eval node
+        may appear in the physical plan."""
+        from replicheck_spark.operators.textops import repetition_stats
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
