@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_repetition_stats(spark, sf):
         return textops.repetition_stats(docs(spark, sf))
 
+    def q_pii_scrub(spark, sf):
+        return textops.pii_scrub(docs(spark, sf))
+
     def q_fingerprint(spark, sf):
         return textops.fingerprint(docs(spark, sf))
 
@@ -233,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reading_complexity": q_reading_complexity,
         "top_tokens": q_top_tokens,
         "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "doc_fingerprint": q_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep_first": q_exact_dedup_keep_first,
@@ -283,6 +287,8 @@ inter AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from replicheck_spark.operators import textops
+
     kw_list = "['dup','slow','fast']"
     langs = {
         "de": "['der','die','das','und','ist']",
@@ -473,6 +479,32 @@ def oracle_sql() -> dict[str, str]:
                    top2gram_frac > 0.20 OR dup5gram_char_frac > 0.15
                    OR dup_line_frac > 0.30 OR dup_line_char_frac > 0.20 AS flagged
             FROM fr
+        """,
+        # PII scrub chain (emails -> IPs -> phones), each category counted on
+        # the text as it stands at that point; patterns are shared constants
+        # from textops (Java-regex/RE2-identical subset).
+        "pii_scrub": f"""
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(t1, '{textops.PII_IPV4_RE}')) AS n_ipv4,
+                   len(regexp_extract_all(
+                       regexp_replace(t1, '{textops.PII_IPV4_RE}', '[IP]', 'g'),
+                       '{textops.PII_PHONE_RE}')) AS n_phones,
+                   regexp_replace(
+                       regexp_replace(t1, '{textops.PII_IPV4_RE}', '[IP]', 'g'),
+                       '{textops.PII_PHONE_RE}', '[PHONE]', 'g') AS clean_text,
+                   (n_emails
+                    + len(regexp_extract_all(t1, '{textops.PII_IPV4_RE}'))
+                    + len(regexp_extract_all(
+                          regexp_replace(t1, '{textops.PII_IPV4_RE}', '[IP]', 'g'),
+                          '{textops.PII_PHONE_RE}'))) > 0 AS has_pii
+            FROM (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{textops.PII_EMAIL_RE}'))
+                       AS n_emails,
+                     regexp_replace(text, '{textops.PII_EMAIL_RE}', '[EMAIL]', 'g')
+                       AS t1
+              FROM documents
+            )
         """,
         "exact_dup_groups": """
             SELECT sha256(text) AS text_sha,

@@ -370,6 +370,44 @@ def repetition_stats(
     )
 
 
+# PII patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): ASCII classes, bounded repeats, \b,
+# non-capturing groups; no backrefs or lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction (emails, IPv4 addresses, phone-shaped
+    numbers) — the standard scrub pass a webtext training pipeline runs
+    before release (cf. the C4/RefinedWeb cleanup stages).
+
+    Scrubbing is a fixed chain — emails -> IPs -> phones — with each
+    category counted on the text as it stands at that point in the chain, so
+    a digit run inside an email is never double-counted as a phone. Returns
+    (doc_id, n_emails, n_ipv4, n_phones, clean_text, has_pii); clean_text
+    carries [EMAIL]/[IP]/[PHONE] placeholders.
+
+    Scale design: pure JVM `regexp_replace`/`regexp_extract_all` expressions
+    in one codegen'd projection — no UDF, no shuffle, one corpus pass.
+    """
+    n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(F.col("text"), F.lit(PII_EMAIL_RE), F.lit("[EMAIL]"))
+    n_ipv4 = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, F.lit(PII_IPV4_RE), F.lit("[IP]"))
+    n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), F.lit(0)))
+    t3 = F.regexp_replace(t2, F.lit(PII_PHONE_RE), F.lit("[PHONE]"))
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
+        t3.alias("clean_text"),
+        ((n_emails + n_ipv4 + n_phones) > 0).alias("has_pii"),
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 5, window: int = 8) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al. '03): k-gram rolling
     hashes, keep the min hash of every `window`-sized sliding window, distinct

@@ -447,3 +447,41 @@ class TestRepetitionStats:
         docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestPiiScrub:
+    def test_planted_pii_detected_and_scrubbed(self, spark):
+        """pii_scrub counts and redacts planted emails/IPs/phones; digit runs
+        inside an already-scrubbed email are not re-counted as phones, and
+        version-like strings (v1.2.3.4beta) and single-letter TLDs survive."""
+        from replicheck_spark.operators.textops import pii_scrub
+
+        rows = [
+            (1, "contact john.doe+spam@example.co.uk or admin@host.io thanks"),
+            (2, "server at 192.168.0.1 and 10.0.0.255, call +1-555-123-4567"),
+            (3, "no pii here just words and 42"),
+            (4, "edge 999.999.999.999 and v1.2.3.4beta and x@y.z"),
+            (5, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+        assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (2, 0, 0)
+        assert out[1]["clean_text"] == "contact [EMAIL] or [EMAIL] thanks"
+        assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) == (0, 2, 1)
+        assert out[2]["clean_text"] == "server at [IP] and [IP], call [PHONE]"
+        assert not out[3]["has_pii"] and out[3]["clean_text"] == rows[2][1]
+        # naive IPv4 matches out-of-range octets (documented); \b keeps the
+        # version string, and a 1-letter TLD is not an email
+        assert out[4]["n_ipv4"] == 1 and out[4]["n_emails"] == 0
+        assert "v1.2.3.4beta" in out[4]["clean_text"]
+        assert not out[5]["has_pii"]
+
+    def test_single_projection_no_shuffle(self, spark):
+        """One codegen'd projection: no exchange and no Python eval in the
+        physical plan."""
+        from replicheck_spark.operators.textops import pii_scrub
+
+        docs = spark.createDataFrame([(1, "a@b.io")], "doc_id long, text string")
+        plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
