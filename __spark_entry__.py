@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_pii_scrub(spark, sf):
         return textops.pii_scrub(docs(spark, sf))
 
+    def q_corpus_filter(spark, sf):
+        return textops.corpus_filter(docs(spark, sf))
+
     def q_fingerprint(spark, sf):
         return textops.fingerprint(docs(spark, sf))
 
@@ -237,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": q_top_tokens,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
+        "corpus_filter": q_corpus_filter,
         "doc_fingerprint": q_fingerprint,
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dedup_keep_first": q_exact_dedup_keep_first,
@@ -314,7 +318,7 @@ def oracle_sql() -> dict[str, str]:
         "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
     )
 
-    return {
+    sql = {
         "doc_stats": f"""
             SELECT doc_id,
                    len({_TOKS}) AS n_tokens,
@@ -713,3 +717,14 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
     }
+    # The composed curation verdict reuses the per-signal oracles verbatim as
+    # subqueries, so a fix in any signal's SQL propagates automatically.
+    sql["corpus_filter"] = f"""
+        SELECT doc_id, quality, has_pii, repetitive,
+               (quality >= 0.5 AND NOT has_pii AND NOT repetitive) AS keep
+        FROM (SELECT doc_id, quality FROM ({sql['quality_score']}))
+        JOIN (SELECT doc_id, has_pii FROM ({sql['pii_scrub']})) USING (doc_id)
+        JOIN (SELECT doc_id, flagged AS repetitive
+              FROM ({sql['repetition_stats']})) USING (doc_id)
+    """
+    return sql

@@ -155,11 +155,11 @@ def lang_id_ngram(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, min_tokens: int = 50, max_tokens: int = 1000) -> DataFrame:
-    """Web-text quality scoring: length band, stopword ratio, mean word len,
-    alpha ratio — the standard heuristic-filter family, all JVM expressions.
+def quality_exprs(min_tokens: int = 50, max_tokens: int = 1000):
+    """(n_tokens, stop_hits, quality) Columns over a `text` column — shared
+    by quality_score and the fused corpus_filter projection.
 
-    score in [0,1]: 0.25*len_ok + 0.25*stopword_band + 0.25*wordlen_band +
+    quality in [0,1]: 0.25*len_ok + 0.25*stopword_band + 0.25*wordlen_band +
     0.25*alpha_band (integer-derived arithmetic, bit-identical in SQL).
     """
     toks = tokens_col()
@@ -176,6 +176,13 @@ def quality_score(docs: DataFrame, min_tokens: int = 50, max_tokens: int = 1000)
         + F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 0.25).otherwise(0.0)
         + F.when(alpha_ratio >= 0.6, 0.25).otherwise(0.0)
     )
+    return n, stop_hits, score
+
+
+def quality_score(docs: DataFrame, min_tokens: int = 50, max_tokens: int = 1000) -> DataFrame:
+    """Web-text quality scoring: length band, stopword ratio, mean word len,
+    alpha ratio — the standard heuristic-filter family, all JVM expressions."""
+    n, stop_hits, score = quality_exprs(min_tokens, max_tokens)
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -378,26 +385,33 @@ PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 PII_PHONE_RE = r"\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}"
 
 
-def pii_scrub(docs: DataFrame) -> DataFrame:
-    """PII detection + redaction (emails, IPv4 addresses, phone-shaped
-    numbers) — the standard scrub pass a webtext training pipeline runs
-    before release (cf. the C4/RefinedWeb cleanup stages).
-
-    Scrubbing is a fixed chain — emails -> IPs -> phones — with each
-    category counted on the text as it stands at that point in the chain, so
-    a digit run inside an email is never double-counted as a phone. Returns
-    (doc_id, n_emails, n_ipv4, n_phones, clean_text, has_pii); clean_text
-    carries [EMAIL]/[IP]/[PHONE] placeholders.
-
-    Scale design: pure JVM `regexp_replace`/`regexp_extract_all` expressions
-    in one codegen'd projection — no UDF, no shuffle, one corpus pass.
-    """
+def pii_exprs():
+    """(n_emails, n_ipv4, n_phones, clean_text) Columns over a `text` column
+    — the scrub chain shared by pii_scrub and the fused corpus_filter
+    projection. Each category is counted on the text as it stands at that
+    point in the chain (emails -> IPs -> phones), so a digit run inside an
+    email is never double-counted as a phone."""
     n_emails = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL_RE), F.lit(0)))
     t1 = F.regexp_replace(F.col("text"), F.lit(PII_EMAIL_RE), F.lit("[EMAIL]"))
     n_ipv4 = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4_RE), F.lit(0)))
     t2 = F.regexp_replace(t1, F.lit(PII_IPV4_RE), F.lit("[IP]"))
     n_phones = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), F.lit(0)))
     t3 = F.regexp_replace(t2, F.lit(PII_PHONE_RE), F.lit("[PHONE]"))
+    return n_emails, n_ipv4, n_phones, t3
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction (emails, IPv4 addresses, phone-shaped
+    numbers) — the standard scrub pass a webtext training pipeline runs
+    before release (cf. the C4/RefinedWeb cleanup stages).
+
+    Returns (doc_id, n_emails, n_ipv4, n_phones, clean_text, has_pii);
+    clean_text carries [EMAIL]/[IP]/[PHONE] placeholders.
+
+    Scale design: pure JVM `regexp_replace`/`regexp_extract_all` expressions
+    in one codegen'd projection — no UDF, no shuffle, one corpus pass.
+    """
+    n_emails, n_ipv4, n_phones, t3 = pii_exprs()
     return docs.select(
         "doc_id",
         n_emails.alias("n_emails"),
@@ -405,6 +419,38 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         n_phones.alias("n_phones"),
         t3.alias("clean_text"),
         ((n_emails + n_ipv4 + n_phones) > 0).alias("has_pii"),
+    )
+
+
+def corpus_filter(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """The composed keep/drop decision of a training-data curation pass:
+    keep a doc iff quality >= min_quality AND no PII AND not
+    repetition-flagged (Gopher thresholds). Returns every doc with its three
+    signals plus the verdict: (doc_id, quality, has_pii, repetitive, keep).
+
+    Scale design: the two per-row signal families (quality heuristics, PII
+    counts) are FUSED into one codegen'd projection over a single corpus
+    scan — not one scan per signal — and the only join is with the
+    repetition aggregate on the unique doc_id key (AQE-planned). Dedup is
+    deliberately not folded in here: near-dup survivorship is a pairwise
+    corpus-level decision (see near_dedup_survivors), while this filter is
+    per-doc and embarrassingly parallel.
+    """
+    _, _, quality = quality_exprs()
+    n_emails, n_ipv4, n_phones, _ = pii_exprs()
+    base = docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        ((n_emails + n_ipv4 + n_phones) > 0).alias("has_pii"),
+    )
+    rep = repetition_stats(docs).select(
+        "doc_id", F.col("flagged").alias("repetitive")
+    )
+    return base.join(rep, "doc_id").withColumn(
+        "keep",
+        (F.col("quality") >= min_quality)
+        & ~F.col("has_pii")
+        & ~F.col("repetitive"),
     )
 
 

@@ -103,6 +103,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # IO-compression experiment knob (scaling campaigns): the 8->32 plateau
+    # is DRAM-bus-bound (BENCH/BASELINE.md), so a heavier codec (zstd) that
+    # trades spare CPU for fewer shuffle/spill/broadcast bytes on the bus is
+    # a scaling lever worth measuring. Unset = Spark's default (lz4).
+    codec = os.environ.get("SPARK_GRAFT_IO_CODEC")
+    if codec:
+        b = b.config("spark.io.compression.codec", codec)
     # Shuffle + spill on tmpfs when available: this sandbox's disk is shared
     # and slow/noisy; RAM-backed local dirs remove disk from the data path
     # entirely (a real cluster would use local NVMe instead).

@@ -36,7 +36,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_once(master: str, variant: str | None, args, tag: str) -> dict:
+def run_once(master: str, variant: str | None, args, tag: str,
+             envset: str = "") -> dict:
     ckpt = tempfile.mkdtemp(prefix=f"scale_{tag}_")
     env = {
         **os.environ,
@@ -44,6 +45,10 @@ def run_once(master: str, variant: str | None, args, tag: str) -> dict:
         "SPARK_GRAFT_ADVISORY_PARTITION": args.advisory,
         "SPARK_GRAFT_DRIVER_MEM": args.driver_mem,
     }
+    # envset: comma-separated KEY=VAL pairs layered on top ("" = baseline).
+    for kv in filter(None, envset.split(",")):
+        k, _, v = kv.partition("=")
+        env[k] = v
     cmd = [
         sys.executable, "jobs/dedup.py", "--pages", args.pages,
         "--ckpt", ckpt, "--run-id", tag, "--master", master,
@@ -64,7 +69,7 @@ def run_once(master: str, variant: str | None, args, tag: str) -> dict:
     m = re.search(r"^\{.*\}$", p.stdout, re.MULTILINE | re.DOTALL)
     rep = json.loads(p.stdout[m.start():]) if m else {}
     out = {
-        "master": master, "variant": variant, "tag": tag,
+        "master": master, "variant": variant, "tag": tag, "envset": envset,
         "wall_sec": rep.get("wall_sec"), "docs": rep.get("docs"),
         "docs_per_sec": rep.get("docs_per_sec"), "proc_sec": round(total, 1),
     }
@@ -83,15 +88,22 @@ def main() -> int:
     ap.add_argument("--advisory", default="16m")
     ap.add_argument("--driver-mem", default="24g")
     ap.add_argument("--no-substr", action="store_true")
+    ap.add_argument("--envsets", nargs="*", default=[""],
+                    help="comma-separated KEY=VAL env overlays to A/B as "
+                         "interleaved variants ('' = baseline), e.g. "
+                         "'' 'SPARK_GRAFT_IO_CODEC=zstd'")
     args = ap.parse_args()
 
     cells: dict[tuple, list] = {}
     for r in range(args.repeats):
         for master in args.masters:
             for variant in args.variants:
-                tag = f"r{r}_{re.sub(r'[^A-Za-z0-9]', '', master)[:24]}_{variant or 'def'}"
-                res = run_once(master, variant, args, tag)
-                cells.setdefault((master, variant), []).append(res)
+                for envset in args.envsets:
+                    etag = re.sub(r"[^A-Za-z0-9]", "", envset.split("=")[-1])[:12] or "base"
+                    tag = (f"r{r}_{re.sub(r'[^A-Za-z0-9]', '', master)[:24]}_"
+                           f"{variant or 'def'}_{etag}")
+                    res = run_once(master, variant, args, tag, envset)
+                    cells.setdefault((master, variant, envset), []).append(res)
 
     print("\n== best-of per cell ==")
     best = {}
@@ -112,12 +124,13 @@ def main() -> int:
     if len(args.masters) == 2 and len(args.variants) == 1:
         (m_lo, m_hi) = sorted(args.masters, key=cores)
         v = args.variants[0]
-        t_lo, _ = best[(m_lo, v)]
-        t_hi, _ = best[(m_hi, v)]
-        speed = t_lo / t_hi
-        ideal = cores(m_hi) / cores(m_lo)
-        print(f"\nspeedup {speed:.3f}x of ideal {ideal:.0f}x -> "
-              f"efficiency {speed / ideal:.3f}")
+        for envset in args.envsets:
+            t_lo, _ = best[(m_lo, v, envset)]
+            t_hi, _ = best[(m_hi, v, envset)]
+            speed = t_lo / t_hi
+            ideal = cores(m_hi) / cores(m_lo)
+            print(f"\n[{envset or 'baseline'}] speedup {speed:.3f}x of ideal "
+                  f"{ideal:.0f}x -> efficiency {speed / ideal:.3f}")
     return 0
 
 

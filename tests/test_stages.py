@@ -485,3 +485,46 @@ class TestPiiScrub:
         plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestCorpusFilter:
+    def test_planted_verdicts_one_reason_each(self, spark):
+        """corpus_filter keeps exactly the doc that clears all three signals;
+        each planted dropper fails exactly the signal it was built to fail."""
+        from replicheck_spark.operators.textops import corpus_filter
+
+        # 55 words, ~10% stopwords, all-alpha, no repeated grams/lines:
+        # clears every quality band and no repetition flag.
+        good = " ".join(
+            f"{w}{i}".replace("0", "o").replace("1", "l").replace("2", "t")
+            .replace("3", "e").replace("4", "a").replace("5", "s")
+            for i, w in enumerate(["word"] * 50)
+        ) + " the and of to in"
+        rows = [
+            (1, good),
+            (2, good + " contact admin@example.io"),  # PII only
+            (3, "spam ham " * 40 + "the and of to in"),  # repetitive only
+            # low quality only: 20 distinct symbol tokens — short + no alpha
+            # + no stopwords, but every bigram unique so not repetitive
+            # (3 tokens would trip Gopher's top-bigram 0.20 at frac=1/2)
+            (4, " ".join(a + b for a in "!?*#%" for b in "!?*#")),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in corpus_filter(docs).collect()}
+        assert sorted(out) == [1, 2, 3, 4]
+        assert out[1]["keep"] and not out[1]["has_pii"] and not out[1]["repetitive"]
+        assert out[1]["quality"] >= 0.5
+        assert not out[2]["keep"] and out[2]["has_pii"]
+        assert out[2]["quality"] >= 0.5 and not out[2]["repetitive"]
+        assert not out[3]["keep"] and out[3]["repetitive"] and not out[3]["has_pii"]
+        assert not out[4]["keep"] and out[4]["quality"] < 0.5
+        assert not out[4]["has_pii"] and not out[4]["repetitive"]
+
+    def test_fused_projection_single_python_free_plan(self, spark):
+        """The quality+PII signals are fused into one UDF-free projection;
+        the whole filter plan contains no Python eval nodes."""
+        from replicheck_spark.operators.textops import corpus_filter
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan = corpus_filter(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
