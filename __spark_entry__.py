@@ -136,6 +136,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSH path, checked against an exact unit-level shingle-join oracle
         return block_near_doc_pairs(docs(spark, sf), cfg, block_tokens=50)
 
+    def q_decontaminate(spark, sf):
+        # deterministic bench/train split of the fixture: every 20th doc_id
+        # plays the benchmark/eval corpus; n=8 (not the production 13)
+        # because fixture docs are 10-99 tokens
+        d = docs(spark, sf)
+        bench = d.filter(F.col("doc_id") % 20 == 0)
+        train = d.filter(F.col("doc_id") % 20 != 0)
+        return dedup_ops.decontaminate(train, bench, n=8)
+
+    def q_boilerplate_strip(spark, sf):
+        from replicheck_spark.operators.blocks import boilerplate_strip
+
+        return boilerplate_strip(docs(spark, sf), block_tokens=50, min_docs=2)
+
     def q_knn_bruteforce(spark, sf):
         return similarity.knn_bruteforce(_t(spark, sf, "embeddings"), 10, 5)
 
@@ -252,6 +266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_pairs": q_substr_pairs,
         "block_exact_dups": q_block_exact_dups,
         "block_near_doc_pairs": q_block_near_doc_pairs,
+        "decontaminate": q_decontaminate,
+        "boilerplate_strip": q_boilerplate_strip,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -642,6 +658,58 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)
                     >= 0.8
               AND a_bt <> b_bt AND da <> db
+        """,
+        "decontaminate": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+7], ' ')
+                                    for i in range(1, greatest(len(t)-6, 2))])
+                       AS gs
+              FROM toks
+            ),
+            bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+                      WHERE doc_id % 20 = 0),
+            hits AS (
+              SELECT e.doc_id, count(*) AS n_contaminated
+              FROM (SELECT doc_id, unnest(gs) AS gram FROM g
+                    WHERE doc_id % 20 <> 0) e
+              JOIN bench USING (gram)
+              GROUP BY e.doc_id
+            )
+            SELECT g.doc_id, len(g.gs) AS n_grams,
+                   coalesce(h.n_contaminated, 0) AS n_contaminated,
+                   coalesce(h.n_contaminated, 0) > 0 AS contaminated
+            FROM g LEFT JOIN hits h USING (doc_id)
+            WHERE g.doc_id % 20 <> 0
+        """,
+        "boilerplate_strip": """
+            WITH u AS (
+              SELECT doc_id, s.bidx, s.bt FROM (
+                SELECT doc_id,
+                       [{'bidx': i,
+                         'bt': array_to_string(t[(i-1)*50+1 : i*50], ' ')}
+                        for i in range(1, CAST(ceil(len(t)/50.0) AS BIGINT)+1)
+                       ] AS lst
+                FROM (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents)
+              ), unnest(lst) AS z(s)
+            ),
+            boiler AS (
+              SELECT bt FROM u
+              WHERE len(string_split(bt, ' ')) >= 25 AND bt <> ''
+              GROUP BY bt HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id,
+                   count(*) AS n_blocks,
+                   count(*) FILTER (WHERE bt IN (SELECT bt FROM boiler))
+                     AS n_boilerplate,
+                   coalesce(array_to_string(
+                     list(bt ORDER BY bidx)
+                       FILTER (WHERE bt NOT IN (SELECT bt FROM boiler)),
+                     ' '), '') AS clean_text
+            FROM u GROUP BY doc_id
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb

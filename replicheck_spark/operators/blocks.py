@@ -80,6 +80,88 @@ def block_exact_dups(
     )
 
 
+def boilerplate_strip(
+    docs: DataFrame, block_tokens: int = 100, min_docs: int = 2,
+    min_block_tokens: int | None = None,
+) -> DataFrame:
+    """CCNet-style boilerplate REMOVAL at block granularity: a substantial
+    block (>= min_block_tokens tokens, see _substantial) whose text occurs in
+    >= ``min_docs`` distinct documents is boilerplate; every document is
+    rewritten without its boilerplate blocks (CCNet dedups paragraphs by
+    corpus-wide hash frequency — fixed token windows are this engine's
+    paragraph analog, same convention as the rest of this module).
+
+    Output, one row per input doc: (doc_id, n_blocks, n_boilerplate,
+    clean_text). clean_text re-joins the surviving blocks in order with
+    single spaces — an exact round trip of the original text when nothing is
+    removed (block boundaries split the token array exactly; empty tokens
+    from repeated separators survive the re-join).
+
+    Scale design: the boilerplate key set is the HEAD of the block-frequency
+    distribution, small at any sane threshold, so it is BROADCAST; the
+    affected-doc id set (docs holding >= 1 boilerplate block) is likewise
+    small and broadcast, so the overwhelming majority of the corpus — the
+    untouched docs — is passed through with in-row column math and NO
+    per-doc shuffle. Only affected docs pay the groupBy rebuild, and only
+    their blocks are re-shuffled.
+    """
+    units = explode_blocks(docs, block_tokens).withColumn(
+        "block_sha", F.sha2("block_text", 256)
+    )
+    # both frames feed two consumers each -> cut the plan once (same
+    # multi-consumer lazy-checkpoint discipline as _expand_exact_members)
+    boiler = (
+        _substantial(units, block_tokens, min_block_tokens)
+        .groupBy("block_sha")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("block_sha")
+        .localCheckpoint(eager=False)
+    )
+    affected_ids = (
+        units.join(F.broadcast(boiler), "block_sha")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    marked = (
+        units.join(F.broadcast(affected_ids), "doc_id", "left_semi")
+        .join(
+            F.broadcast(boiler.withColumn("is_boiler", F.lit(True))),
+            "block_sha", "left",
+        )
+        .withColumn("is_boiler", F.coalesce("is_boiler", F.lit(False)))
+    )
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_boilerplate"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("block_idx", "is_boiler", "block_text")
+                        )
+                    ),
+                    lambda s: ~s["is_boiler"],
+                ),
+                lambda s: s["block_text"],
+            ),
+        ).alias("clean_text"),
+    )
+    toks = F.split(F.col("text"), " ")
+    untouched = docs.join(F.broadcast(affected_ids), "doc_id", "left_anti").select(
+        "doc_id",
+        F.greatest(
+            F.ceil(F.size(toks) / F.lit(block_tokens)), F.lit(1)
+        ).cast("long").alias("n_blocks"),
+        F.lit(0).cast("long").alias("n_boilerplate"),
+        F.col("text").alias("clean_text"),
+    )
+    return rebuilt.unionByName(untouched)
+
+
 def block_near_doc_pairs(
     docs: DataFrame, cfg: DedupConfig, block_tokens: int = 100,
     min_block_tokens: int | None = None,

@@ -280,6 +280,53 @@ def near_dedup_survivors(
     )
 
 
+def decontaminate(train: DataFrame, bench: DataFrame, n: int = 13) -> DataFrame:
+    """Train/eval overlap flagging — the published LLM 'decontamination' step
+    (GPT-3 appendix C / Llama: drop training documents sharing any word
+    n-gram with a benchmark corpus; n=13 is the GPT-3 value). A training doc
+    is contaminated when any of its distinct n-grams also occurs anywhere in
+    ``bench``.
+
+    Returns one row per TRAINING doc: (doc_id, n_grams, n_contaminated,
+    contaminated) — n_grams is the doc's distinct n-gram count,
+    n_contaminated how many of those occur in the benchmark set.
+
+    Scale design: eval benchmarks are tiny next to a 10^12-doc corpus, so the
+    distinct benchmark gram set (xxhash64-keyed, 8 bytes/row) is BROADCAST —
+    the corpus-side membership test is then a map-side hash join and the
+    corpus's own grams never shuffle; only the rare hit rows reach the
+    per-doc count agg. n_grams is computed in-row (array expressions, no
+    explode), so the only remaining join is hit-counts back onto the doc
+    table — hits are few, AQE broadcasts them. Grams are hashed at the
+    source with the same accepted xxhash64 collision odds as _shingles_df.
+    """
+    def grams():
+        toks = F.split(F.col("text"), " ")
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+            )
+        )
+
+    bench_grams = bench.select(F.explode(grams()).alias("gh")).distinct()
+    # grams() is already distinct-per-doc, so a plain count after the
+    # membership join is the distinct contaminated-gram count.
+    hits = (
+        train.select("doc_id", F.explode(grams()).alias("gh"))
+        .join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    base = train.select("doc_id", F.size(grams()).alias("n_grams"))
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """SimHash near-dup pairs: LSH candidates filtered by Hamming <=
     hamming_max: (a, b, hamming). Rows-only correctness check (SimHash is not

@@ -1,0 +1,108 @@
+"""Value-level tests for the two corpus-curation operators added in round 5:
+
+* ``decontaminate`` — GPT-3-style train/eval n-gram overlap flagging
+  (dedup_ops.decontaminate)
+* ``boilerplate_strip`` — CCNet-style corpus-frequency block removal
+  (blocks.boilerplate_strip)
+
+Each is checked two ways on a PLANTED corpus with known positives:
+hand-computed expected rows, and the driver's own protocol (the
+``__spark_entry__`` query callable vs its ``oracle_sql`` DuckDB string,
+side-by-side on the same parquet) — the sf fixtures contain positives for
+these ops too, but planting makes the expected values auditable by eye.
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+duckdb = pytest.importorskip("duckdb")
+
+
+def _w(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+BENCH_TEXT = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+SHARED_BLOCK = _w("b", 50)
+
+
+@pytest.fixture(scope="module")
+def curation_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("curation_sf")
+    rows = [
+        # decontamination plant: doc 0 is the benchmark (doc_id % 20 == 0);
+        # doc 1 embeds its full text -> shares all three of its 8-grams
+        (0, BENCH_TEXT, "en", "s0", len(BENCH_TEXT)),
+        (1, BENCH_TEXT + " extra trailing", "en", "s0", 0),
+        (2, _w("z", 12), "en", "s1", 0),
+        # boilerplate plant: docs 10/11 share an identical leading 50-token
+        # block, then diverge; doc 12 is a unique 40-token doc (one
+        # substantial block, no duplicates -> untouched)
+        (10, SHARED_BLOCK + " " + _w("c", 30), "en", "s0", 0),
+        (11, SHARED_BLOCK + " " + _w("d", 30), "en", "s1", 0),
+        (12, _w("e", 40), "en", "s2", 0),
+    ]
+    rows = [(i, t, l, s, len(t)) for (i, t, l, s, _) in rows]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _run(spark, curation_dir, name):
+    df = entry_mod.queries()[name](spark, curation_dir)
+    return df.columns, [tuple(r) for r in df.collect()]
+
+
+def _oracle(curation_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{curation_dir}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(sql)
+    return [c[0] for c in cur.description], cur.fetchall()
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(cols), sorted(tuple(r[i] for i in order) for r in rows)
+
+
+def test_decontaminate_planted_values(spark, curation_dir):
+    cols, rows = _run(spark, curation_dir, "decontaminate")
+    assert cols == ["doc_id", "n_grams", "n_contaminated", "contaminated"]
+    got = {r[0]: r[1:] for r in rows}
+    assert got == {
+        # 12 tokens -> 5 distinct 8-grams, 3 of them lifted from the bench doc
+        1: (5, 3, True),
+        2: (5, 0, False),
+        10: (73, 0, False),
+        11: (73, 0, False),
+        12: (33, 0, False),
+    }
+
+
+def test_boilerplate_strip_planted_values(spark, curation_dir):
+    cols, rows = _run(spark, curation_dir, "boilerplate_strip")
+    assert cols == ["doc_id", "n_blocks", "n_boilerplate", "clean_text"]
+    got = {r[0]: r[1:] for r in rows}
+    # untouched docs round-trip their text exactly
+    assert got[0] == (1, 0, BENCH_TEXT)
+    assert got[1] == (1, 0, BENCH_TEXT + " extra trailing")
+    assert got[2] == (1, 0, _w("z", 12))
+    assert got[12] == (1, 0, _w("e", 40))
+    # the shared 50-token block is stripped; the distinct tails survive
+    assert got[10] == (2, 1, _w("c", 30))
+    assert got[11] == (2, 1, _w("d", 30))
+
+
+@pytest.mark.parametrize("name", ["decontaminate", "boilerplate_strip"])
+def test_curation_duckdb_parity(spark, curation_dir, name):
+    scols, srows = _run(spark, curation_dir, name)
+    ocols, orows = _oracle(curation_dir, entry_mod.oracle_sql()[name])
+    assert srows, f"{name} must be non-vacuous on the planted corpus"
+    ns, no = _normalize(scols, srows), _normalize(ocols, orows)
+    assert ns[0] == no[0], f"column mismatch: {ns[0]} vs {no[0]}"
+    assert ns[1] == no[1]
