@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSH path, checked against an exact unit-level shingle-join oracle
         return block_near_doc_pairs(docs(spark, sf), cfg, block_tokens=50)
 
+    def q_unigram_freq_stats(spark, sf):
+        return textops.unigram_freq_stats(docs(spark, sf), vocab_k=50)
+
     def q_decontaminate(spark, sf):
         # deterministic bench/train split of the fixture: every 20th doc_id
         # plays the benchmark/eval corpus; n=8 (not the production 13)
@@ -266,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substr_pairs": q_substr_pairs,
         "block_exact_dups": q_block_exact_dups,
         "block_near_doc_pairs": q_block_near_doc_pairs,
+        "unigram_freq_stats": q_unigram_freq_stats,
         "decontaminate": q_decontaminate,
         "boilerplate_strip": q_boilerplate_strip,
         "knn_bruteforce": q_knn_bruteforce,
@@ -658,6 +662,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)
                     >= 0.8
               AND a_bt <> b_bt AND da <> db
+        """,
+        "unigram_freq_stats": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                         FROM documents),
+            vocab AS (
+              SELECT t, count(*) AS freq FROM tok GROUP BY t
+              ORDER BY count(*) DESC, t ASC LIMIT 50
+            )
+            SELECT tok.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(coalesce(v.freq, 0)) AS BIGINT) AS sum_freq,
+                   CAST(count(*) FILTER (WHERE v.freq IS NULL) AS BIGINT)
+                     AS n_oov
+            FROM tok LEFT JOIN vocab v USING (t)
+            GROUP BY tok.doc_id
         """,
         "decontaminate": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -454,6 +454,45 @@ def corpus_filter(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     )
 
 
+def unigram_freq_stats(docs: DataFrame, vocab_k: int = 50) -> DataFrame:
+    """Unigram-LM quality proxy in integer-exact form (the CCNet idea — score
+    docs by how probable their tokens are under a corpus LM — with corpus
+    unigram counts standing in for model log-probs so the result is exactly
+    SQL-checkable: no floats, no log). Per doc: (doc_id, n_tokens, sum_freq,
+    n_oov) where sum_freq sums the corpus-wide occurrence count of each token
+    INSTANCE that falls in the top-``vocab_k`` vocabulary and n_oov counts
+    instances outside it. Rare-token-dominated docs (lorem noise, mojibake,
+    generated junk) surface as low sum_freq / high n_oov.
+
+    Scale design: vocabulary counting is a word-count (map-side partial agg;
+    the exchange carries one row per distinct token per task); the head is a
+    TakeOrderedAndProject (never a full sort) with a deterministic
+    (count desc, token asc) tie-break, and is BROADCAST for the membership
+    join. The per-doc aggregation's partial agg collapses each doc inside
+    its own partition — explode does not repartition, so a doc's token rows
+    never leave their task and the doc-id exchange carries ONE row per doc,
+    not one per token.
+    """
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("t"))
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("t"))
+        .limit(vocab_k)
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("freq", F.lit(0))).alias("sum_freq"),
+            F.sum(
+                F.when(F.col("freq").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, k: int = 5, window: int = 8) -> DataFrame:
     """Winnowing document fingerprint (Schleimer et al. '03): k-gram rolling
     hashes, keep the min hash of every `window`-sized sliding window, distinct

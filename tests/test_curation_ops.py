@@ -98,7 +98,34 @@ def test_boilerplate_strip_planted_values(spark, curation_dir):
     assert got[11] == (2, 1, _w("d", 30))
 
 
-@pytest.mark.parametrize("name", ["decontaminate", "boilerplate_strip"])
+def test_unigram_freq_stats_planted_values(spark):
+    from replicheck_spark.operators.textops import unigram_freq_stats
+
+    d = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c"), (2, "x y")], "doc_id long, text string"
+    )
+    # corpus counts: a=3 b=2 c=1 x=1 y=1 -> top-2 vocab {a:3, b:2}
+    rows = {r[0]: r[1:] for r in unigram_freq_stats(d, vocab_k=2).collect()}
+    assert rows == {
+        0: (3, 8, 0),   # a+a+b = 3+3+2
+        1: (3, 5, 1),   # a+b, c is OOV
+        2: (2, 0, 2),   # all OOV
+    }
+
+
+def test_unigram_freq_stats_vocab_tiebreak(spark):
+    from replicheck_spark.operators.textops import unigram_freq_stats
+
+    # all tokens tie at freq=1 -> the (count desc, token asc) tie-break must
+    # pick the lexicographically smallest two, deterministically
+    d = spark.createDataFrame([(0, "d c"), (1, "b a")], "doc_id long, text string")
+    rows = {r[0]: r[1:] for r in unigram_freq_stats(d, vocab_k=2).collect()}
+    assert rows == {0: (2, 0, 2), 1: (2, 2, 0)}
+
+
+@pytest.mark.parametrize(
+    "name", ["decontaminate", "boilerplate_strip", "unigram_freq_stats"]
+)
 def test_curation_duckdb_parity(spark, curation_dir, name):
     scols, srows = _run(spark, curation_dir, name)
     ocols, orows = _oracle(curation_dir, entry_mod.oracle_sql()[name])
