@@ -38,7 +38,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_once(master: str, variant: str | None, args, tag: str,
              envset: str = "") -> dict:
-    ckpt = tempfile.mkdtemp(prefix=f"scale_{tag}_")
+    # Checkpoints MUST live on tmpfs: this host's shared virtio disk loses
+    # throughput under concurrent writers AND stalls a 1-core run harder
+    # than a 4-core one (no compute to overlap I/O with), so disk-backed
+    # ckpts systematically INFLATE low-parallelism walls and with them the
+    # measured scaling efficiency (r5: 400k 1v4 read 0.835 with /tmp ckpts
+    # vs 0.74 with tmpfs ckpts — see BENCH/SCALING_1V4_400k_r5.md).
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix=f"scale_{tag}_", dir=ckpt_root)
     env = {
         **os.environ,
         "SPARK_GRAFT_SHUFFLE": str(args.shuffle),

@@ -90,6 +90,17 @@ class TestJoinAndAggShapes:
         df = entry_mod.queries()["large_docs_topk"](spark, SF_DIR)
         assert "TakeOrderedAndProject" in _plan(df)
 
+    def test_unigram_vocab_take_ordered_and_broadcast(self, spark):
+        """The top-K vocabulary head must be a TakeOrderedAndProject (never a
+        full sort of the token-frequency table) and the membership join must
+        broadcast it (map-side, no corpus-gram shuffle)."""
+        import __spark_entry__ as entry_mod
+
+        df = entry_mod.queries()["unigram_freq_stats"](spark, SF_DIR)
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan
+
 
 class TestUdfEvaluation:
     def test_signature_udf_single_arrow_eval(self, spark):
