@@ -113,6 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_cluster_labels(spark, sf):
         return dedup_ops.cluster_labels(docs(spark, sf), k=5, threshold=0.8)
 
+    def q_source_dup_summary(spark, sf):
+        return dedup_ops.source_dup_summary(docs(spark, sf), k=5, threshold=0.8)
+
     def q_near_dedup_survivors(spark, sf):
         return dedup_ops.near_dedup_survivors(docs(spark, sf), k=5,
                                               threshold=0.8)
@@ -265,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
         "cluster_labels": q_cluster_labels,
+        "source_dup_summary": q_source_dup_summary,
         "near_dedup_survivors": q_near_dedup_survivors,
         "substr_pairs": q_substr_pairs,
         "block_exact_dups": q_block_exact_dups,
@@ -813,5 +817,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN (SELECT doc_id, has_pii FROM ({sql['pii_scrub']})) USING (doc_id)
         JOIN (SELECT doc_id, flagged AS repetitive
               FROM ({sql['repetition_stats']})) USING (doc_id)
+    """
+    # Per-source rollup composes the recursive-closure labels oracle the
+    # same way (subquery reuse — a fix there propagates here).
+    sql["source_dup_summary"] = f"""
+        SELECT d.source,
+               count(*) AS n_docs,
+               count(l.cluster_id) AS n_clustered,
+               count(*) FILTER (WHERE l.cluster_id IS NOT NULL
+                                  AND l.cluster_id <> d.doc_id) AS n_dropped
+        FROM documents d LEFT JOIN ({sql['cluster_labels']}) l USING (doc_id)
+        GROUP BY d.source
     """
     return sql

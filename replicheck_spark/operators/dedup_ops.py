@@ -280,6 +280,38 @@ def near_dedup_survivors(
     )
 
 
+def source_dup_summary(
+    docs: DataFrame, k: int = 5, threshold: float = 0.8
+) -> DataFrame:
+    """Per-source near-duplication rollup — the curation dashboard a corpus
+    owner reads before deciding which feeds to throttle: for every source,
+    how many docs it contributed, how many sit in a near-dup cluster, and
+    how many near-dedup would DROP (non-canonical cluster members under
+    cluster_labels' min-id labeling).
+
+    Output: (source, n_docs, n_clustered, n_dropped), one row per source.
+
+    Scale design: the label frame holds only CLUSTERED docs — a small slice
+    of a web corpus — so the corpus-side left join broadcasts it (AQE); the
+    final groupBy is on the low-cardinality source key with map-side
+    partial aggregation. SQL-expressible end to end (recursive-CTE closure
+    composed as a subquery), so the whole rollup is driver-checked.
+    """
+    labels = cluster_labels(docs, k=k, threshold=threshold)
+    j = docs.select("doc_id", "source").join(labels, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("cluster_id").alias("n_clustered"),
+        F.sum(
+            F.when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("cluster_id") != F.col("doc_id")),
+                1,
+            ).otherwise(0)
+        ).alias("n_dropped"),
+    )
+
+
 def decontaminate(train: DataFrame, bench: DataFrame, n: int = 13) -> DataFrame:
     """Train/eval overlap flagging — the published LLM 'decontamination' step
     (GPT-3 appendix C / Llama: drop training documents sharing any word

@@ -123,8 +123,32 @@ def test_unigram_freq_stats_vocab_tiebreak(spark):
     assert rows == {0: (2, 0, 2), 1: (2, 2, 0)}
 
 
+def test_source_dup_summary_planted_values(spark):
+    from replicheck_spark.operators.dedup_ops import source_dup_summary
+
+    dup = "alpha beta gamma delta epsilon zeta " * 10  # J=1.0 clique
+    d = spark.createDataFrame(
+        [
+            (1, dup, "s0"),
+            (2, dup, "s0"),
+            (3, dup, "s1"),
+            (4, "totally unrelated words " * 15, "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r[0]: r[1:] for r in source_dup_summary(d).collect()}
+    # cluster {1,2,3} with canonical min id 1 -> docs 2 and 3 get dropped
+    assert rows == {"s0": (2, 2, 1), "s1": (2, 1, 1)}
+
+
 @pytest.mark.parametrize(
-    "name", ["decontaminate", "boilerplate_strip", "unigram_freq_stats"]
+    "name",
+    [
+        "decontaminate",
+        "boilerplate_strip",
+        "unigram_freq_stats",
+        "source_dup_summary",
+    ],
 )
 def test_curation_duckdb_parity(spark, curation_dir, name):
     scols, srows = _run(spark, curation_dir, name)
