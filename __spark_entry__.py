@@ -156,6 +156,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return boilerplate_strip(docs(spark, sf), block_tokens=50, min_docs=2)
 
+    def q_line_corpus_dedup(spark, sf):
+        from replicheck_spark.operators.blocks import line_corpus_dedup
+
+        # C4-style corpus-frequency line removal; fixture docs are single
+        # lines, so the repeated-line set is exactly the exact-dup text set —
+        # multi-line semantics are pytest-gated on planted docs
+        return line_corpus_dedup(docs(spark, sf), min_docs=2)
+
+    def q_simhash_confirmed_pairs(spark, sf):
+        # the SimHash family's oracle-checkable face: Hamming prefilter +
+        # exact-Jaccard confirm — output contract identical to the exact
+        # shingle join (prefilter miss < 1e-8 at radius 28; see operator doc)
+        return dedup_ops.simhash_confirmed_pairs(docs(spark, sf), cfg)
+
     def q_knn_bruteforce(spark, sf):
         return similarity.knn_bruteforce(_t(spark, sf, "embeddings"), 10, 5)
 
@@ -175,6 +189,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.knn_ivf(
             _t(spark, sf, "embeddings"), n_queries=10, k=5,
             n_cells=16, nprobe=8,
+        )
+
+    def q_knn_ivf_fullprobe(spark, sf):
+        # nprobe = n_cells -> every query probes every cell, so the IVF
+        # operator degenerates to exact brute force BY CONSTRUCTION (same
+        # JVM cosine expression) — which makes the IVF plumbing (assign,
+        # probe explode, cell equi-join, window top-k) driver-checkable
+        # against the brute-force SQL oracle
+        return similarity.knn_ivf(
+            _t(spark, sf, "embeddings"), n_queries=10, k=5,
+            n_cells=16, nprobe=16,
         )
 
     def q_embedding_dup_pairs(spark, sf):
@@ -276,9 +301,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_freq_stats": q_unigram_freq_stats,
         "decontaminate": q_decontaminate,
         "boilerplate_strip": q_boilerplate_strip,
+        "line_corpus_dedup": q_line_corpus_dedup,
+        "simhash_confirmed_pairs": q_simhash_confirmed_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_stats": q_media_stats,
         "media_features": q_media_features,
@@ -475,7 +503,10 @@ def oracle_sql() -> dict[str, str]:
             agg AS (
               SELECT doc_id,
                      sum(CASE WHEN kind='g2' THEN c END) AS g2_total,
-                     max(CASE WHEN kind='g2' THEN c END) AS g2_top,
+                     (max(CASE WHEN kind='g2'
+                          THEN {{'c': c, 'cm': glen * c}} END))['cm']
+                       AS g2_top_chars,
+                     sum(CASE WHEN kind='g2' THEN glen * c END) AS g2_chars,
                      sum(CASE WHEN kind='g5' THEN c END) AS g5_total,
                      sum(CASE WHEN kind='g5' AND c > 1 THEN c - 1 END) AS g5_dup,
                      sum(CASE WHEN kind='g5' THEN glen * c END) AS g5_chars,
@@ -490,8 +521,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             fr AS (
               SELECT doc_id,
-                     CASE WHEN g2_total > 0 THEN CAST(coalesce(g2_top, 0) AS DOUBLE)
-                          / CAST(g2_total AS DOUBLE) ELSE 0.0 END AS top2gram_frac,
+                     CASE WHEN g2_chars > 0 THEN CAST(coalesce(g2_top_chars, 0) AS DOUBLE)
+                          / CAST(g2_chars AS DOUBLE) ELSE 0.0 END AS top2gram_char_frac,
                      CASE WHEN g5_total > 0 THEN CAST(coalesce(g5_dup, 0) AS DOUBLE)
                           / CAST(g5_total AS DOUBLE) ELSE 0.0 END AS dup5gram_frac,
                      CASE WHEN g5_chars > 0 THEN CAST(coalesce(g5_dup_chars, 0) AS DOUBLE)
@@ -502,9 +533,9 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(line_chars AS DOUBLE) ELSE 0.0 END AS dup_line_char_frac
               FROM (SELECT doc_id FROM documents) LEFT JOIN agg USING (doc_id)
             )
-            SELECT doc_id, top2gram_frac, dup5gram_frac, dup5gram_char_frac,
+            SELECT doc_id, top2gram_char_frac, dup5gram_frac, dup5gram_char_frac,
                    dup_line_frac, dup_line_char_frac,
-                   top2gram_frac > 0.20 OR dup5gram_char_frac > 0.15
+                   top2gram_char_frac > 0.20 OR dup5gram_char_frac > 0.15
                    OR dup_line_frac > 0.30 OR dup_line_char_frac > 0.20 AS flagged
             FROM fr
         """,
@@ -686,10 +717,13 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                           FROM documents),
             g AS (
+              -- sub-n docs have ZERO n-grams (GPT-3 semantics; guard
+              -- mirrored in dedup_ops.decontaminate, ADVICE r5 #2)
               SELECT doc_id,
-                     list_distinct([array_to_string(t[i:i+7], ' ')
-                                    for i in range(1, greatest(len(t)-6, 2))])
-                       AS gs
+                     CASE WHEN len(t) >= 8 THEN
+                       list_distinct([array_to_string(t[i:i+7], ' ')
+                                      for i in range(1, len(t)-6)])
+                     ELSE CAST([] AS VARCHAR[]) END AS gs
               FROM toks
             ),
             bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g
@@ -733,6 +767,30 @@ def oracle_sql() -> dict[str, str]:
                        FILTER (WHERE bt NOT IN (SELECT bt FROM boiler)),
                      ' '), '') AS clean_text
             FROM u GROUP BY doc_id
+        """,
+        "line_corpus_dedup": """
+            WITH l AS (
+              SELECT doc_id, s.idx, s.ln FROM (
+                SELECT doc_id,
+                       [{'idx': i, 'ln': ls[i]} for i in range(1, len(ls)+1)]
+                         AS lst
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                      FROM documents)
+              ), unnest(lst) AS z(s)
+            ),
+            rep AS (
+              SELECT trim(ln) AS t FROM l WHERE trim(ln) <> ''
+              GROUP BY trim(ln) HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id,
+                   count(*) AS n_lines,
+                   count(*) FILTER (WHERE trim(ln) IN (SELECT t FROM rep))
+                     AS n_removed,
+                   coalesce(array_to_string(
+                     list(ln ORDER BY idx)
+                       FILTER (WHERE trim(ln) NOT IN (SELECT t FROM rep)),
+                     chr(10)), '') AS clean_text
+            FROM l GROUP BY doc_id
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
@@ -808,6 +866,14 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
     }
+    # The SimHash confirmed face shares the minhash oracle: both operators'
+    # OUTPUT contract is "exact Jaccard >= t among distinct-text pairs"; the
+    # non-SQL machinery differs (bands vs bands+Hamming prefilter) but its
+    # miss probability is negligible either way (~5e-8 bands, <1e-8 the
+    # radius-28 prefilter). Full-probe IVF degenerates to brute force by
+    # construction, so it shares the brute-force oracle.
+    sql["simhash_confirmed_pairs"] = sql["minhash_lsh_pairs"]
+    sql["knn_ivf_fullprobe"] = sql["knn_bruteforce"]
     # The composed curation verdict reuses the per-signal oracles verbatim as
     # subqueries, so a fix in any signal's SQL propagates automatically.
     sql["corpus_filter"] = f"""

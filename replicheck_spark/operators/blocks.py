@@ -13,9 +13,37 @@ any LSH curve.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 
 from replicheck_spark.config import DedupConfig
+
+logger = logging.getLogger(__name__)
+
+
+def _gated_hint(df: DataFrame, bytes_per_row: int, limit_bytes: int,
+                label: str):
+    """Size-gate a broadcast hint on a data-dependent frame: ONE metadata
+    count job decides; under the limit the caller gets ``F.broadcast``, above
+    it an identity (shuffle join, AQE free to re-plan) plus a logged meter —
+    a hard ``F.broadcast`` hint on a frame whose size is a function of the
+    DATA (e.g. the boilerplate key head at ``min_docs=2`` on a web corpus:
+    billions of keys) forces a driver OOM instead of a shuffle (VERDICT r5
+    #2; the bytes-gated branch pattern of similarity.embedding_dup_pairs).
+    The frame should be lazily checkpointed by the caller so the deciding
+    count materializes it once and every downstream consumer reuses it.
+
+    Returns (hint_fn, n_rows)."""
+    n = df.count()
+    if n * bytes_per_row <= limit_bytes:
+        return F.broadcast, n
+    logger.warning(
+        "%s: %d keys (~%d MB) exceed the %d MB broadcast limit — "
+        "falling back to shuffle joins (metered, never silent)",
+        label, n, n * bytes_per_row >> 20, limit_bytes >> 20,
+    )
+    return (lambda d: d), n
 
 
 def explode_blocks(docs: DataFrame, block_tokens: int = 100) -> DataFrame:
@@ -83,6 +111,7 @@ def block_exact_dups(
 def boilerplate_strip(
     docs: DataFrame, block_tokens: int = 100, min_docs: int = 2,
     min_block_tokens: int | None = None,
+    broadcast_bytes_limit: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """CCNet-style boilerplate REMOVAL at block granularity: a substantial
     block (>= min_block_tokens tokens, see _substantial) whose text occurs in
@@ -97,19 +126,27 @@ def boilerplate_strip(
     removed (block boundaries split the token array exactly; empty tokens
     from repeated separators survive the re-join).
 
-    Scale design: the boilerplate key set is the HEAD of the block-frequency
-    distribution, small at any sane threshold, so it is BROADCAST; the
-    affected-doc id set (docs holding >= 1 boilerplate block) is likewise
-    small and broadcast, so the overwhelming majority of the corpus — the
-    untouched docs — is passed through with in-row column math and NO
-    per-doc shuffle. Only affected docs pay the groupBy rebuild, and only
-    their blocks are re-shuffled.
+    Scale design: the boilerplate key set is usually the HEAD of the
+    block-frequency distribution and the affected-doc id set likewise small,
+    so both joins WANT a broadcast — the untouched majority of the corpus
+    then passes through with in-row column math and NO per-doc shuffle. But
+    both frames are data-dependent: at ``min_docs=2`` on a web corpus the
+    key set is the entire duplicated-block head (billions of 32-byte shas),
+    and a hard broadcast hint would force a driver OOM instead of a shuffle.
+    Each hint is therefore size-gated by one cheap metadata count on the
+    lazily-checkpointed frame (``_gated_hint``): under ``broadcast_bytes_
+    limit`` it broadcasts exactly as before; above it the hint is dropped
+    (shuffle join, AQE re-plans, fallback logged — metered, never silent).
+    Only affected docs pay the groupBy rebuild either way, and only their
+    blocks are re-shuffled.
     """
     units = explode_blocks(docs, block_tokens).withColumn(
         "block_sha", F.sha2("block_text", 256)
     )
     # both frames feed two consumers each -> cut the plan once (same
-    # multi-consumer lazy-checkpoint discipline as _expand_exact_members)
+    # multi-consumer lazy-checkpoint discipline as _expand_exact_members);
+    # the gating counts materialize the checkpoints, so downstream consumers
+    # read cached partitions instead of recomputing the aggregations
     boiler = (
         _substantial(units, block_tokens, min_block_tokens)
         .groupBy("block_sha")
@@ -118,16 +155,24 @@ def boilerplate_strip(
         .select("block_sha")
         .localCheckpoint(eager=False)
     )
+    # 64-char hex sha + row overhead ~ 96 bytes/key
+    boiler_hint, _ = _gated_hint(
+        boiler, 96, broadcast_bytes_limit, "boilerplate_strip.boiler"
+    )
     affected_ids = (
-        units.join(F.broadcast(boiler), "block_sha")
+        units.join(boiler_hint(boiler), "block_sha")
         .select("doc_id")
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # 8-byte long id + row overhead ~ 24 bytes/key
+    aff_hint, _ = _gated_hint(
+        affected_ids, 24, broadcast_bytes_limit, "boilerplate_strip.affected"
+    )
     marked = (
-        units.join(F.broadcast(affected_ids), "doc_id", "left_semi")
+        units.join(aff_hint(affected_ids), "doc_id", "left_semi")
         .join(
-            F.broadcast(boiler.withColumn("is_boiler", F.lit(True))),
+            boiler_hint(boiler.withColumn("is_boiler", F.lit(True))),
             "block_sha", "left",
         )
         .withColumn("is_boiler", F.coalesce("is_boiler", F.lit(False)))
@@ -151,12 +196,92 @@ def boilerplate_strip(
         ).alias("clean_text"),
     )
     toks = F.split(F.col("text"), " ")
-    untouched = docs.join(F.broadcast(affected_ids), "doc_id", "left_anti").select(
+    untouched = docs.join(aff_hint(affected_ids), "doc_id", "left_anti").select(
         "doc_id",
         F.greatest(
             F.ceil(F.size(toks) / F.lit(block_tokens)), F.lit(1)
         ).cast("long").alias("n_blocks"),
         F.lit(0).cast("long").alias("n_boilerplate"),
+        F.col("text").alias("clean_text"),
+    )
+    return rebuilt.unionByName(untouched)
+
+
+def line_corpus_dedup(
+    docs: DataFrame, min_docs: int = 2,
+    broadcast_bytes_limit: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """C4-style LINE-level corpus-frequency dedup (Raffel et al. 2020 §2.2
+    remove repeated lines corpus-wide): a line whose trimmed text is
+    non-empty and occurs in >= ``min_docs`` DISTINCT documents is stripped
+    from every document. Newline-granular — the complement of the
+    fixed-50-token-window ``boilerplate_strip`` (which misses short repeated
+    lines) and the within-doc ``repetition_stats`` (which cannot see
+    corpus-wide repeats).
+
+    Output, one row per input doc: (doc_id, n_lines, n_removed, clean_text).
+    ``n_lines`` counts every split line (empty ones included); ``clean_text``
+    re-joins the surviving ORIGINAL (untrimmed) lines in order with a single
+    newline — an exact round trip when nothing is removed.
+
+    Scale design (same shape as ``boilerplate_strip``): repeated lines are
+    keyed by ``xxhash64(trim(line))`` so the frequency agg and the strip join
+    move 8-byte longs, not line strings (a 64-bit collision falsely strips
+    one line — the same accepted odds as every other xxhash64 key in this
+    package); the repeated-line key set and the affected-doc id set are
+    lazily checkpointed, and each join's broadcast hint is size-gated by one
+    metadata count (``_gated_hint``) — broadcast under the limit, shuffle
+    join with a logged meter above it. Untouched docs never shuffle.
+    """
+    lines_arr = F.split(F.col("text"), "\n")
+    exploded = docs.select(
+        "doc_id", F.posexplode(lines_arr).alias("line_idx", "line")
+    ).withColumn("lh", F.xxhash64(F.trim(F.col("line"))))
+    boiler = (
+        exploded.filter(F.trim(F.col("line")) != "")
+        .groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lh")
+        .localCheckpoint(eager=False)
+    )
+    boiler_hint, _ = _gated_hint(
+        boiler, 24, broadcast_bytes_limit, "line_corpus_dedup.lines"
+    )
+    affected_ids = (
+        exploded.join(boiler_hint(boiler), "lh")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    aff_hint, _ = _gated_hint(
+        affected_ids, 24, broadcast_bytes_limit, "line_corpus_dedup.affected"
+    )
+    marked = (
+        exploded.join(aff_hint(affected_ids), "doc_id", "left_semi")
+        .join(boiler_hint(boiler.withColumn("is_rep", F.lit(True))), "lh", "left")
+        .withColumn("is_rep", F.coalesce("is_rep", F.lit(False)))
+    )
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("is_rep").cast("long")).alias("n_removed"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_idx", "is_rep", "line"))
+                    ),
+                    lambda s: ~s["is_rep"],
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    untouched = docs.join(aff_hint(affected_ids), "doc_id", "left_anti").select(
+        "doc_id",
+        F.size(lines_arr).cast("long").alias("n_lines"),
+        F.lit(0).cast("long").alias("n_removed"),
         F.col("text").alias("clean_text"),
     )
     return rebuilt.unionByName(untouched)

@@ -107,17 +107,43 @@ def _shingles_df(docs: DataFrame, k: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 5, threshold: float = 0.8
+    docs: DataFrame, k: int = 5, threshold: float = 0.8,
+    df_cap: int | None = 100_000, return_dropped: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard >= threshold over k-shingles: inverted-index equi-join on
     shingle -> per-pair intersection count -> jaccard filter.
 
     Scale notes: the join shuffles on the shingle value — high-frequency
-    shingles (boilerplate) are the skew source; AQE skew-join splits them, and
-    the downstream pair hash-agg combines map-side. This is the quadratic-free
-    exact method; MinHash+LSH below is the sublinear approximation.
+    shingles (boilerplate) are the skew source. AQE skew-join splits the hot
+    tasks, but the PAIR COUNT itself is quadratic in a shingle's document
+    frequency (a shingle in 10^6 docs contributes ~10^12 join rows), so
+    shingles with corpus df > ``df_cap`` are dropped from the index BEFORE
+    the self-join — the standard stopword-shingle guard. The default cap is
+    far above any sandbox fixture's df (fixtures are untouched); web-scale
+    callers tune it down. Dropped shingles still count toward ``na``/``nb``
+    (the union) but can no longer intersect, so affected pairs' Jaccard is
+    UNDERESTIMATED — conservative: the cap can only suppress pairs, never
+    invent them, and a ubiquitous shingle moves Jaccard by O(1/|union|).
+    Never silent: with ``return_dropped=True`` the second return value is the
+    lazily-checkpointed (shingle, df) frame of dropped keys — count it after
+    any action on the pairs for the metrics table (the same
+    consume-after-action pattern as lsh.candidate_pairs' ``capped``).
+    MinHash+LSH below is the sublinear approximation.
     """
     e = _shingles_df(docs, k)
+    dropped = None
+    if df_cap is not None:
+        # df agg is one map-side-combined shuffle; the hot frame is tiny
+        # (<= total shingle rows / df_cap keys), so AQE broadcasts the
+        # anti-join probe on its own — no forced hint on a data-dependent
+        # frame (same rule as blocks._gated_hint).
+        dropped = (
+            e.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .localCheckpoint(eager=False)
+        )
+        e = e.join(dropped.select("shingle"), "shingle", "left_anti")
     a = e.select(
         F.col("doc_id").alias("a"), F.col("n_shingles").alias("na"), "shingle"
     )
@@ -137,11 +163,15 @@ def ngram_jaccard_pairs(
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     ).cast("double")
-    return (
+    pairs = (
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    if return_dropped:
+        empty = docs.sparkSession.createDataFrame([], "shingle long, df long")
+        return pairs, (dropped if dropped is not None else empty)
+    return pairs
 
 
 def _expand_exact_members(
@@ -235,24 +265,77 @@ def minhash_lsh_pairs(
     )
 
 
-def cluster_labels(docs: DataFrame, k: int = 5, threshold: float = 0.8) -> DataFrame:
-    """Cluster membership over the exact-Jaccard pair graph:
+def _closure_edges(
+    docs: DataFrame, k: int, threshold: float, method: str,
+    cfg: DedupConfig | None,
+) -> DataFrame:
+    """Edge frame (a, b) for the closure-based corpus faces (cluster_labels /
+    near_dedup_survivors / source_dup_summary).
+
+    ``method="exact"``: ngram_jaccard_pairs — the inverted-index join whose
+    output is SQL-expressible (the driver-checked default). Identical texts
+    have jaccard 1.0, so exact-duplicate cliques ride along for free.
+
+    ``method="lsh"``: the 100x path a production run uses — minhash_lsh_pairs
+    (salted capped band buckets, semi-join-pruned confirm; pair-miss ~5e-8 at
+    the default band config) UNIONED with exact-duplicate star edges. The
+    union is required for label parity: the LSH confirm excludes
+    identical-sha pairs (they belong to the exact stage), and its
+    member-expansion links members of group A to members of group B but
+    never members of A to each other — without the stars, a pure
+    exact-duplicate clique would be invisible to the closure.
+    tests/test_dedup_expansion.py gates LSH-edge labels == exact-edge labels
+    on the planted fixture corpus.
+    """
+    if method == "exact":
+        return ngram_jaccard_pairs(docs, k=k, threshold=threshold).select("a", "b")
+    if method == "lsh":
+        from replicheck_spark.operators.exact import exact_edges
+
+        c = cfg or DedupConfig()
+        c = DedupConfig(
+            **{**c.to_dict(), "min_similarity": threshold, "shingle_k": k}
+        )
+        near = minhash_lsh_pairs(docs, c).select("a", "b")
+        elig = docs.select(
+            "doc_id",
+            F.col("doc_id").cast("string").alias("url"),
+            F.sha2("text", 256).alias("sha256"),
+        )
+        stars = exact_edges(elig).select("a", "b")
+        return near.unionByName(stars)
+    raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+
+
+def cluster_labels(
+    docs: DataFrame, k: int = 5, threshold: float = 0.8,
+    edges: DataFrame | None = None, method: str = "exact",
+    cfg: DedupConfig | None = None,
+) -> DataFrame:
+    """Cluster membership over the near-duplicate pair graph:
     (doc_id, cluster_id) with cluster_id = min reachable doc_id.
 
-    Edges are ngram_jaccard_pairs at ``threshold`` — identical texts have
-    jaccard 1.0, so exact-duplicate cliques are included without a separate
-    exact-edge union. SQL-expressible (DuckDB recursive-CTE transitive
-    closure), making the iterative connected-components operator
-    driver-checkable end to end.
+    Default edges are ngram_jaccard_pairs at ``threshold`` (identical texts
+    have jaccard 1.0, so exact-duplicate cliques are included without a
+    separate exact-edge union) — SQL-expressible (DuckDB recursive-CTE
+    transitive closure), making the iterative connected-components operator
+    driver-checkable end to end. ``method="lsh"`` swaps in the LSH edge path
+    (see _closure_edges) — what a 10^12-doc run must use, since the exact
+    inverted-index join's pair count is quadratic in hot-shingle df. Pass
+    ``edges`` (a, b) to label an arbitrary precomputed edge frame (e.g. the
+    pipeline's checkpointed union) with the same operator.
     """
     from replicheck_spark.operators.components import connected_components
 
-    edges = ngram_jaccard_pairs(docs, k=k, threshold=threshold).select("a", "b")
-    return connected_components(edges)
+    if edges is None:
+        edges = _closure_edges(docs, k, threshold, method, cfg)
+    return connected_components(edges.select("a", "b"))
 
 
 def near_dedup_survivors(
-    docs: DataFrame, k: int = 5, threshold: float = 0.8
+    docs: DataFrame, k: int = 5, threshold: float = 0.8,
+    edges: DataFrame | None = None, method: str = "exact",
+    cfg: DedupConfig | None = None,
 ) -> DataFrame:
     """APPLY near-dedup to the corpus: keep exactly one canonical doc per
     near-duplicate cluster (the min doc_id — which IS ``cluster_id`` under
@@ -269,9 +352,14 @@ def near_dedup_survivors(
     anti-join shuffles 8-byte keys; with the drop side far under the
     broadcast threshold Spark broadcasts it, so the corpus pass is
     shuffle-free. SQL-expressible (recursive-CTE closure + NOT IN),
-    driver-checked against DuckDB end to end.
+    driver-checked against DuckDB end to end. ``edges``/``method``/``cfg``
+    select the edge source exactly as in cluster_labels — ``method="lsh"``
+    is the 100x production path (pytest-gated equal to the exact path on the
+    fixture corpus).
     """
-    labels = cluster_labels(docs, k=k, threshold=threshold)
+    labels = cluster_labels(
+        docs, k=k, threshold=threshold, edges=edges, method=method, cfg=cfg
+    )
     dropped = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
@@ -281,7 +369,9 @@ def near_dedup_survivors(
 
 
 def source_dup_summary(
-    docs: DataFrame, k: int = 5, threshold: float = 0.8
+    docs: DataFrame, k: int = 5, threshold: float = 0.8,
+    edges: DataFrame | None = None, method: str = "exact",
+    cfg: DedupConfig | None = None,
 ) -> DataFrame:
     """Per-source near-duplication rollup — the curation dashboard a corpus
     owner reads before deciding which feeds to throttle: for every source,
@@ -296,8 +386,12 @@ def source_dup_summary(
     final groupBy is on the low-cardinality source key with map-side
     partial aggregation. SQL-expressible end to end (recursive-CTE closure
     composed as a subquery), so the whole rollup is driver-checked.
+    ``edges``/``method``/``cfg`` select the edge source exactly as in
+    cluster_labels — ``method="lsh"`` is the 100x production path.
     """
-    labels = cluster_labels(docs, k=k, threshold=threshold)
+    labels = cluster_labels(
+        docs, k=k, threshold=threshold, edges=edges, method=method, cfg=cfg
+    )
     j = docs.select("doc_id", "source").join(labels, "doc_id", "left")
     return j.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -331,14 +425,24 @@ def decontaminate(train: DataFrame, bench: DataFrame, n: int = 13) -> DataFrame:
     explode), so the only remaining join is hit-counts back onto the doc
     table — hits are few, AQE broadcasts them. Grams are hashed at the
     source with the same accepted xxhash64 collision odds as _shingles_df.
+
+    A doc with fewer than ``n`` tokens has ZERO n-grams (GPT-3 semantics):
+    the gram array is guarded with a size check, the same way
+    repetition_stats guards its gram windows — without it, a sub-n doc was
+    assigned one truncated whole-text pseudo-gram, so a short train doc
+    byte-equal to a short bench doc got flagged via a sub-n overlap and its
+    n_grams misreported as 1 (ADVICE r5 #2; the oracle mirrors the guard).
     """
     def grams():
         toks = F.split(F.col("text"), " ")
-        return F.array_distinct(
+        full = F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
                 lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
             )
+        )
+        return F.when(F.size(toks) >= n, full).otherwise(
+            F.expr("array()").cast("array<bigint>")
         )
 
     bench_grams = bench.select(F.explode(grams()).alias("gh")).distinct()
@@ -394,4 +498,81 @@ def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
     return _expand_exact_members(
         rep_edges, sigs.select("doc_id", "sha256"), ["hamming"]
+    )
+
+
+def simhash_confirmed_pairs(
+    docs: DataFrame, cfg: DedupConfig, threshold: float | None = None,
+    hamming_prefilter: int = 28,
+) -> DataFrame:
+    """SimHash-prefiltered near-dup pairs with an exact-Jaccard confirm:
+    (a, b, jaccard) — the SimHash family's DRIVER-CHECKABLE face.
+
+    ``simhash_pairs`` above emits (a, b, hamming), which no SQL oracle can
+    reproduce (SimHash is approximate by construction). This operator runs
+    the SAME simhash machinery as a cheap Hamming PREFILTER (``bit_count
+    (xor) <= hamming_prefilter`` — one codegen'd instruction per candidate,
+    no shingle-array touch) and then confirms survivors with the exact
+    shingle Jaccard at ``threshold``; the OUTPUT contract — exact Jaccard >=
+    threshold among distinct-text pairs — is therefore SQL-expressible and
+    checked against the same shingle-join oracle as minhash_lsh_pairs (the
+    trick documented at __spark_entry__.py: the non-SQL machinery's miss
+    probability is driven to negligible, so the exact-join oracle IS the
+    expected output).
+
+    Miss sources, both negligible at the defaults: the band-candidate stage
+    (~5e-8 at jaccard 0.8, as minhash_lsh_pairs) and the Hamming prefilter —
+    a jaccard-0.8 pair has token-set cosine ~2j/(1+j)=0.89 (theta~0.47 rad),
+    so each of the 64 simhash bits flips with p = theta/pi ~ 0.15:
+    hamming ~ Binomial(64, 0.15), mean 9.6, sd 2.9 — P(h > 28) < 1e-8
+    (Chernoff), and empirically the fixture corpora max out at h <= 15 among
+    confirmed pairs. Production callers trading recall for candidate volume
+    tune ``hamming_prefilter`` down toward cfg.hamming_max.
+    """
+    t = cfg.min_similarity if threshold is None else threshold
+    sigs = (
+        docs.select(
+            "doc_id",
+            F.sha2("text", 256).alias("sha256"),
+            _sig_col(cfg).alias("sig"),
+        )
+        .select(
+            "doc_id", "sha256",
+            F.col("sig.shingles").alias("shingles"),
+            F.col("sig.simhash").alias("simhash"),
+            F.col("sig.bands").alias("bands"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cands, _ = candidate_pairs(explode_bands(sigs, cfg), cfg)
+    a = sigs.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("a_sim"),
+        F.col("sha256").alias("a_sha"), F.col("shingles").alias("a_sh"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("b_sim"),
+        F.col("sha256").alias("b_sha"), F.col("shingles").alias("b_sh"),
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    rep_edges = (
+        cands.join(a, "a")
+        .join(b, "b")
+        # the cheap prefilter FIRST: one bit_count per candidate prunes
+        # before the shingle arrays are intersected
+        .filter(
+            F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
+            <= hamming_prefilter
+        )
+        .filter(F.col("a_sha") != F.col("b_sha"))
+        .withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double"))
+            .otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= F.lit(t))
+        .select("a_sha", "b_sha", "jaccard")
+    )
+    return _expand_exact_members(
+        rep_edges, sigs.select("doc_id", "sha256"), ["jaccard"]
     )

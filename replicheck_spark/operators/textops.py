@@ -261,8 +261,17 @@ def repetition_stats(
     """Gopher-style repetition quality metrics (Rae et al. 2021, appendix A1.1
     — the public webtext repetition filters). Per doc:
 
-      top2gram_frac       occurrences of the most frequent word bigram / total
-                          bigrams
+      top2gram_char_frac  characters covered by the most frequent word bigram
+                          (count x gram chars; count ties broken by larger
+                          char mass) / total bigram characters — the
+                          CHARACTER fraction Rae et al. publish the 0.20
+                          threshold for (ADVICE r5 #1; an earlier revision
+                          applied it to the occurrence-count fraction).
+                          Gram chars = token chars + single separators,
+                          overlaps counted per occurrence — the reproducible
+                          denominator when whitespace runs make raw document
+                          characters tokenizer-dependent; the DuckDB oracle
+                          shares the definition exactly.
       dup5gram_frac       occurrences beyond the first of repeated word
                           5-grams / total 5-grams
       dup5gram_char_frac  same, weighted by gram character length
@@ -338,7 +347,19 @@ def repetition_stats(
 
     per_doc = counts.groupBy("doc_id").agg(
         _tot("g2").alias("g2_total"),
-        F.max(F.when(F.col("kind") == "g2", F.col("c"))).alias("g2_top"),
+        # most-frequent bigram's char mass: lexicographic struct max picks
+        # max count, ties broken by larger (glen * c) — deterministic on
+        # both engines (DuckDB max() orders structs the same way)
+        F.max(
+            F.when(
+                F.col("kind") == "g2",
+                F.struct(
+                    F.col("c").alias("c"),
+                    (F.col("glen") * F.col("c")).alias("cm"),
+                ),
+            )
+        )["cm"].alias("g2_top_chars"),
+        _tot_chars("g2").alias("g2_chars"),
         _tot("g5").alias("g5_total"),
         _dup("g5").alias("g5_dup"),
         _tot_chars("g5").alias("g5_chars"),
@@ -361,7 +382,7 @@ def repetition_stats(
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            _frac("g2_top", "g2_total").alias("top2gram_frac"),
+            _frac("g2_top_chars", "g2_chars").alias("top2gram_char_frac"),
             _frac("g5_dup", "g5_total").alias("dup5gram_frac"),
             _frac("g5_dup_chars", "g5_chars").alias("dup5gram_char_frac"),
             _frac("line_dup", "line_total").alias("dup_line_frac"),
@@ -370,7 +391,7 @@ def repetition_stats(
     )
     return out.withColumn(
         "flagged",
-        (F.col("top2gram_frac") > top2gram_max)
+        (F.col("top2gram_char_frac") > top2gram_max)
         | (F.col("dup5gram_char_frac") > dup5gram_char_max)
         | (F.col("dup_line_frac") > dup_line_max)
         | (F.col("dup_line_char_frac") > dup_line_char_max),

@@ -76,6 +76,104 @@ def test_minhash_signature_udf_evaluated_once(planted):
     assert "ArrowEvalPython" not in plan
 
 
+def test_simhash_confirmed_pairs_share_the_minhash_contract(planted):
+    """simhash_confirmed_pairs (Hamming prefilter + exact-Jaccard confirm) has
+    the SAME output contract as minhash_lsh_pairs — that is what makes it the
+    SimHash family's oracle-checkable face."""
+    sim = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dedup_ops.simhash_confirmed_pairs(
+            planted, DedupConfig()
+        ).collect()
+    }
+    mh = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dedup_ops.minhash_lsh_pairs(planted, DedupConfig()).collect()
+    }
+    assert sim == mh and sim  # non-empty: the planted near pair is present
+
+
+def test_ngram_df_cap_drops_hot_shingles_metered(spark):
+    """A shingle present in >df_cap docs is dropped from the inverted index
+    BEFORE the self-join (the pair count is quadratic in shingle df), the
+    drop is surfaced via return_dropped, and the default cap leaves small
+    corpora untouched. Dropped shingles still count toward the union, never
+    the intersection — Jaccard can only be underestimated."""
+    common = "c1 c2 c3 c4 c5"
+    docs = _docs(
+        spark,
+        {i: f"{common} u{i}a u{i}b u{i}c u{i}d" for i in range(10)},
+    )
+    # each doc: 9 tokens -> 5 shingles, exactly one shared by all 10 docs;
+    # pairwise jaccard = 1/9 ~ 0.111
+    base = dedup_ops.ngram_jaccard_pairs(docs, k=5, threshold=0.1)
+    assert base.count() == 45  # default df_cap far above df=10
+    pairs, dropped = dedup_ops.ngram_jaccard_pairs(
+        docs, k=5, threshold=0.1, df_cap=5, return_dropped=True
+    )
+    assert pairs.count() == 0  # the only intersection came from the hot key
+    d = dropped.collect()
+    assert len(d) == 1 and d[0]["df"] == 10  # metered, never silent
+    # cap off entirely
+    assert dedup_ops.ngram_jaccard_pairs(
+        docs, k=5, threshold=0.1, df_cap=None
+    ).count() == 45
+
+
+def test_closure_faces_lsh_edges_equal_exact_path(spark):
+    """cluster_labels / near_dedup_survivors / source_dup_summary with
+    method='lsh' (the 100x path: LSH near edges + exact star edges) produce
+    EXACTLY the labels of the driver-checked exact-join default on a corpus
+    with an exact-dup clique, a near-dup attached to it, a pure exact pair
+    with no near edge, and singletons (band miss ~5e-8 at jaccard 0.8)."""
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99)) + " CHANGED"
+    pure = " ".join(f"yyy{i}" for i in range(100))
+    other = " ".join(f"zzz{i}" for i in range(100))
+    rows = [
+        (1, base, "en", "srcA", len(base)),
+        (2, base, "en", "srcB", len(base)),
+        (3, near, "en", "srcA", len(near)),
+        (4, other, "en", "srcC", len(other)),
+        (5, pure, "en", "srcA", len(pure)),   # exact pair, no near edge:
+        (6, pure, "en", "srcB", len(pure)),   # invisible without star edges
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    for face in (
+        dedup_ops.cluster_labels,
+        dedup_ops.near_dedup_survivors,
+        dedup_ops.source_dup_summary,
+    ):
+        exact = sorted(map(tuple, face(docs).collect()))
+        lsh = sorted(map(tuple, face(docs, method="lsh").collect()))
+        assert lsh == exact, face.__name__
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_ops.cluster_labels(docs, method="lsh").collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_decontaminate_sub_n_docs_have_zero_grams(spark):
+    """GPT-3 semantics: a doc with fewer than n tokens yields NO n-grams —
+    a short train doc byte-equal to a short bench doc is NOT flagged via a
+    truncated whole-text pseudo-gram (ADVICE r5 #2)."""
+    long_a = " ".join(f"w{i}" for i in range(20))
+    train = _docs(spark, {1: "a b c", 2: long_a})
+    bench = _docs(spark, {100: "a b c", 101: " ".join(f"w{i}" for i in range(8))})
+    out = {
+        r["doc_id"]: r
+        for r in dedup_ops.decontaminate(train, bench, n=8).collect()
+    }
+    assert out[1]["n_grams"] == 0
+    assert out[1]["n_contaminated"] == 0 and not out[1]["contaminated"]
+    # the normal-length hit path still works: bench doc 101 == train grams
+    assert out[2]["n_grams"] == 13  # 20 - 8 + 1
+    assert out[2]["n_contaminated"] == 1 and out[2]["contaminated"]
+
+
 def test_near_dedup_survivors_keeps_canonical_and_singletons(spark):
     base = " ".join(f"tok{i}" for i in range(100))
     near = " ".join(f"tok{i}" for i in range(99)) + " CHANGED"

@@ -88,3 +88,42 @@ def test_jobs_cli_plumbs_iceberg_catalog():
                        "--iceberg-catalog", "ice"])
     assert args.iceberg_catalog == "ice"
     assert "iceberg_catalog" in inspect.signature(run_dedup).parameters
+
+
+def test_iceberg_backend_end_to_end_when_jar_present(spark, tmp_path):
+    """Full write/exists/read/overwrite round trip through the Iceberg
+    branch against a real hadoop-catalog warehouse. The iceberg-spark
+    runtime jar is NOT in this sandbox, so the test skips cleanly here and
+    runs wherever the jar is on the classpath (spark-submit --packages
+    org.apache.iceberg:iceberg-spark-runtime-*; catalog confs are set at
+    runtime — Spark instantiates catalogs lazily, so no session restart is
+    needed)."""
+    import pytest
+
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+    except Exception:
+        pytest.skip("iceberg-spark-runtime jar not on the Spark classpath")
+    spark.conf.set(
+        "spark.sql.catalog.icetest", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.icetest.type", "hadoop")
+    spark.conf.set(
+        "spark.sql.catalog.icetest.warehouse", str(tmp_path / "warehouse")
+    )
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS icetest.ck")
+    io = TableIO(
+        spark, root=str(tmp_path), run_id="2026-08-18-it",
+        iceberg_catalog="icetest.ck",
+    )
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    assert not io.exists("stage1")
+    io.write("stage1", df)
+    assert io.exists("stage1")  # the resume gate
+    got = sorted(r["doc_id"] for r in io.read("stage1").collect())
+    assert got == [0, 1, 2, 3, 4]
+    # a re-run overwrites idempotently (createOrReplace), never appends
+    io.write("stage1", df.filter("doc_id < 3"))
+    assert io.read("stage1").count() == 3

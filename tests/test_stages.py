@@ -420,23 +420,30 @@ class TestRepetitionStats:
             #   of the 5 rotations occurs 2 or 3 times: dup = 11 - 5 = 6/11.
             (4, "one two three four five one two three four five one two three four five"),
             (5, "u v w"),  # 2 bigrams, distinct -> top2 = 1/2 (still > 0.20)
+            # unequal token lengths separate the CHAR fraction from the count
+            # fraction: bigrams "aaaa b" x2 (6 chars), "b aaaa" x1 (6),
+            # "b c" x1 (3) -> top char mass 12 of 21 = 4/7 (count frac would
+            # be 2/4) — the Rae et al. A1.1 character definition
+            (6, "aaaa b aaaa b c"),
         ]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
         out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
-        assert abs(out[1]["top2gram_frac"] - 3 / 7) < 1e-12
+        assert abs(out[6]["top2gram_char_frac"] - 12 / 21) < 1e-12
+        # docs 1/3/5 have all-1-char tokens, so char frac == count frac there
+        assert abs(out[1]["top2gram_char_frac"] - 3 / 7) < 1e-12
         assert out[1]["dup5gram_frac"] == 0.0
         assert out[1]["flagged"]  # top2 3/7 > 0.20
         assert abs(out[2]["dup_line_frac"] - 0.25) < 1e-12
         assert abs(out[2]["dup_line_char_frac"] - 1 / 22) < 1e-12
         assert abs(out[2]["dup5gram_frac"] - 0.5) < 1e-12
-        assert out[3]["top2gram_frac"] == 0.0
+        assert out[3]["top2gram_char_frac"] == 0.0
         assert out[3]["dup_line_frac"] == 0.0
         assert not out[3]["flagged"]
         assert abs(out[4]["dup5gram_frac"] - 6 / 11) < 1e-12
         # all 5-grams have equal char length here, so char-frac == count-frac
         assert abs(out[4]["dup5gram_char_frac"] - 6 / 11) < 1e-12
         assert out[4]["flagged"]  # dup5gram_char 6/11 > 0.15
-        assert abs(out[5]["top2gram_frac"] - 0.5) < 1e-12
+        assert abs(out[5]["top2gram_char_frac"] - 0.5) < 1e-12
         assert out[5]["dup5gram_frac"] == 0.0
 
     def test_no_python_udf_in_plan(self, spark):
