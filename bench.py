@@ -81,6 +81,8 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
         "simhash_pairs",
+        "simhash_confirmed_pairs",
+        "line_corpus_dedup",
         "doc_fingerprint",
         "knn_bruteforce",
         "embedding_dup_pairs",

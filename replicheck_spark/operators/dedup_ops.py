@@ -132,7 +132,12 @@ def ngram_jaccard_pairs(
     """
     e = _shingles_df(docs, k)
     dropped = None
-    if df_cap is not None:
+    # a shingle's df can never exceed the doc count (shingles are distinct
+    # within a doc), so when n_docs <= df_cap the guard cannot bind: one
+    # metadata-cheap count (parquet row-count fast path) skips the df agg
+    # entirely — the fixture-scale corpora pay nothing, web-scale corpora
+    # engage the guard automatically.
+    if df_cap is not None and docs.count() > df_cap:
         # df agg is one map-side-combined shuffle; the hot frame is tiny
         # (<= total shingle rows / df_cap keys), so AQE broadcasts the
         # anti-join probe on its own — no forced hint on a data-dependent

@@ -24,6 +24,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import re
@@ -106,7 +107,15 @@ def main() -> int:
         for master in args.masters:
             for variant in args.variants:
                 for envset in args.envsets:
-                    etag = re.sub(r"[^A-Za-z0-9]", "", envset.split("=")[-1])[:12] or "base"
+                    # tag from the FULL envset string (ADVICE r5 #3: two
+                    # overlays sharing a trailing value, e.g. '*_CODEC=zstd'
+                    # vs 'OTHER=zstd', collided when only the last value was
+                    # used), plus a short hash so truncation cannot re-collide
+                    etag = (
+                        re.sub(r"[^A-Za-z0-9]", "", envset)[:12]
+                        + hashlib.sha1(envset.encode()).hexdigest()[:4]
+                        if envset else "base"
+                    )
                     tag = (f"r{r}_{re.sub(r'[^A-Za-z0-9]', '', master)[:24]}_"
                            f"{variant or 'def'}_{etag}")
                     res = run_once(master, variant, args, tag, envset)
