@@ -157,3 +157,51 @@ def test_curation_duckdb_parity(spark, curation_dir, name):
     ns, no = _normalize(scols, srows), _normalize(ocols, orows)
     assert ns[0] == no[0], f"column mismatch: {ns[0]} vs {no[0]}"
     assert ns[1] == no[1]
+
+
+@pytest.fixture(scope="module")
+def newline_dir(spark, tmp_path_factory):
+    """Adversarial newline shapes for line_corpus_dedup: the sf fixtures are
+    single-line docs, so the driver's oracle row never exercises split/trim
+    edge behavior — this planted corpus does, against the same DuckDB SQL."""
+    d = tmp_path_factory.mktemp("newline_sf")
+    rows = [
+        (1, "HEADER\nunique one\nFOOTER"),
+        (2, "  HEADER  \nunique two\nFOOTER\n"),      # pad + trailing \n
+        (3, "\nHEADER"),                               # leading empty line
+        (4, "a4\n\n\nb4"),                             # consecutive empties
+        (5, "a5\n   \nb5"),                            # whitespace-only line
+        (6, "HEADER\r\nunique six"),                   # \r survives trim (CR
+        (7, ""),                                       #  is not a space)
+        (8, "solo\nsolo\nsolo"),                       # within-doc repeat only
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for (i, t) in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_line_corpus_dedup_duckdb_parity_on_newline_shapes(spark, newline_dir):
+    scols, srows = _run(spark, newline_dir, "line_corpus_dedup")
+    ocols, orows = _oracle(
+        newline_dir, entry_mod.oracle_sql()["line_corpus_dedup"]
+    )
+    ns, no = _normalize(scols, srows), _normalize(ocols, orows)
+    assert ns[0] == no[0], f"column mismatch: {ns[0]} vs {no[0]}"
+    assert ns[1] == no[1]
+    by_id = {r[0]: r for r in srows}
+    cols = scols
+    clean = {i: by_id[i][cols.index("clean_text")] for i in by_id}
+    removed = {i: by_id[i][cols.index("n_removed")] for i in by_id}
+    # HEADER occurs (trim-keyed) in docs 1, 2, 3 -> stripped everywhere;
+    # "HEADER\r" (doc 6) does NOT trim-match: \r is not a space
+    assert removed[1] == 2 and clean[1] == "unique one"   # FOOTER too (1, 2)
+    assert removed[2] == 2 and clean[2] == "unique two\n" # trailing empty kept
+    assert removed[3] == 1 and clean[3] == ""             # leading empty kept
+    assert removed[6] == 0 and clean[6] == "HEADER\r\nunique six"
+    # untouched docs round-trip byte-exactly, empties and repeats included
+    for i in (4, 5, 7, 8):
+        assert removed[i] == 0
+        assert clean[i] == {4: "a4\n\n\nb4", 5: "a5\n   \nb5", 7: "",
+                            8: "solo\nsolo\nsolo"}[i]
