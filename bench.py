@@ -109,6 +109,33 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out, cold
 
 
+def _run_single_child(cores, pages_path: str, workdir: str,
+                      shuffle: int | None = None) -> dict:
+    """Invoke this script's ``--single`` mode in a FRESH subprocess (fresh
+    JVM) and parse its one-line JSON result — the shared child protocol of
+    the default pipeline bench and ``--scaling`` (one implementation, so the
+    child's output contract cannot silently diverge between modes)."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--single",
+           "--cores", str(cores), "--pages", pages_path,
+           "--workdir", workdir]
+    if shuffle:
+        cmd += ["--shuffle", str(shuffle)]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True,
+        env={**os.environ,
+             "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench child failed (local[{cores}], rc={proc.returncode}"
+            f"):\n{proc.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
 def _bench_pipeline(spark, pages_path: str, ckpt: str, run_id: str) -> tuple[float, int]:
     """Full dedup pipeline wall time + doc count (fresh checkpoint)."""
     from replicheck_spark.config import DedupConfig
@@ -146,35 +173,27 @@ def main_default(args) -> None:
     # measured 22-55s the same night). Fresh process per run because the py4j
     # JVM survives SparkSession.stop(): back-to-back in-process sessions
     # share a fragmented heap and stale worker daemons (measured 2x noise).
-    import subprocess
-
     sf = _sf_of(sf_dir)
     n_docs = max(int((sf if sf > 0 else 0.1) * 200_000), 2000)
     from replicheck_spark.corpus import write_pages_parquet
 
     tmp = _mkworkdir("bench_")
-    pages_path = os.path.join(tmp, "pages.parquet")
-    write_pages_parquet(pages_path, n_docs=n_docs, seed=42)
     pipe_walls: list[float] = []
     n = n_docs
-    for i in range(3):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single",
-             "--cores", str(cpus), "--pages", pages_path,
-             "--workdir", os.path.join(tmp, f"pipe{i}")],
-            capture_output=True, text=True,
-            env={**os.environ,
-                 "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
-        )
-        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if proc.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"pipeline bench child failed (rep {i}, rc="
-                f"{proc.returncode}):\n{proc.stderr[-2000:]}"
+    try:
+        pages_path = os.path.join(tmp, "pages.parquet")
+        write_pages_parquet(pages_path, n_docs=n_docs, seed=42)
+        for i in range(3):
+            parsed = _run_single_child(
+                cpus, pages_path, os.path.join(tmp, f"pipe{i}")
             )
-        parsed = json.loads(lines[-1])
-        pipe_walls.append(parsed["wall_sec"])
-        n = parsed["docs"]
+            pipe_walls.append(parsed["wall_sec"])
+            n = parsed["docs"]
+    finally:
+        # a failed child must not leak the corpus + checkpoint trees on
+        # RAM-backed tmpfs — that would worsen the memory pressure that
+        # likely killed it
+        shutil.rmtree(tmp, ignore_errors=True)
     wall = min(pipe_walls)
     queries["dedup_pipeline"] = round(wall, 3)
     queries_cold["dedup_pipeline"] = round(pipe_walls[0], 3)
@@ -198,7 +217,6 @@ def main_default(args) -> None:
             }
         )
     )
-    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main_single(args) -> None:
@@ -232,8 +250,6 @@ def main_scaling(args) -> None:
     SparkSession.stop(), so back-to-back sessions in one process share a
     fragmented heap and stale worker daemons — measured 2x noise.
     """
-    import subprocess
-
     from replicheck_spark.corpus import write_pages_parquet
 
     tmp = _mkworkdir("scaling_")
@@ -248,24 +264,9 @@ def main_scaling(args) -> None:
         os.rename(pages_path + ".tmp", pages_path)
 
     def measure(cores: int, tag: str) -> float:
-        shuffle_args = (
-            ["--shuffle", str(args.shuffle)] if args.shuffle else []
-        )
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single",
-             "--cores", str(cores), "--pages", pages_path,
-             "--workdir", os.path.join(tmp, tag), *shuffle_args],
-            capture_output=True, text=True,
-            env={**os.environ,
-                 "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
-        )
-        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if proc.returncode != 0 or not lines:
-            raise RuntimeError(
-                f"scaling child failed (local[{cores}], rc={proc.returncode}"
-                f"):\n{proc.stderr[-2000:]}"
-            )
-        return json.loads(lines[-1])["wall_sec"]
+        return _run_single_child(
+            cores, pages_path, os.path.join(tmp, tag), shuffle=args.shuffle
+        )["wall_sec"]
 
     # The sandbox host has noisy neighbors (identical runs measured 3x
     # apart); interleave repeats and keep the BEST wall per level — min over

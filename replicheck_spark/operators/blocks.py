@@ -24,15 +24,23 @@ logger = logging.getLogger(__name__)
 
 def _gated_hint(df: DataFrame, bytes_per_row: int, limit_bytes: int,
                 label: str):
-    """Size-gate a broadcast hint on a data-dependent frame: ONE metadata
-    count job decides; under the limit the caller gets ``F.broadcast``, above
-    it an identity (shuffle join, AQE free to re-plan) plus a logged meter —
-    a hard ``F.broadcast`` hint on a frame whose size is a function of the
-    DATA (e.g. the boilerplate key head at ``min_docs=2`` on a web corpus:
-    billions of keys) forces a driver OOM instead of a shuffle (VERDICT r5
-    #2; the bytes-gated branch pattern of similarity.embedding_dup_pairs).
-    The frame should be lazily checkpointed by the caller so the deciding
-    count materializes it once and every downstream consumer reuses it.
+    """Size-gate a broadcast hint on a data-dependent frame: ONE deciding
+    count job runs at BUILD time; under the limit the caller gets
+    ``F.broadcast``, above it an identity (shuffle join, AQE free to
+    re-plan) plus a logged meter — a hard ``F.broadcast`` hint on a frame
+    whose size is a function of the DATA (e.g. the boilerplate key head at
+    ``min_docs=2`` on a web corpus: billions of keys) forces a driver OOM
+    instead of a shuffle (VERDICT r5 #2; the bytes-gated branch pattern of
+    similarity.embedding_dup_pairs).
+
+    The deciding count is a real aggregation job, not a metadata read —
+    operators using this helper are therefore EAGER at construction (same
+    contract as similarity.embedding_dup_pairs' path decision). The caller
+    should lazily checkpoint the frame first: the deciding count then
+    materializes it once and every downstream consumer — including the
+    caller's eventual action — reuses the cached partitions instead of
+    recomputing the aggregation, so the decision costs one job, not one
+    extra pass per consumer.
 
     Returns (hint_fn, n_rows)."""
     n = df.count()

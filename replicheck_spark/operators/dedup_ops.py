@@ -109,6 +109,7 @@ def _shingles_df(docs: DataFrame, k: int) -> DataFrame:
 def ngram_jaccard_pairs(
     docs: DataFrame, k: int = 5, threshold: float = 0.8,
     df_cap: int | None = 100_000, return_dropped: bool = False,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard >= threshold over k-shingles: inverted-index equi-join on
     shingle -> per-pair intersection count -> jaccard filter.
@@ -124,20 +125,36 @@ def ngram_jaccard_pairs(
     (the union) but can no longer intersect, so affected pairs' Jaccard is
     UNDERESTIMATED — conservative: the cap can only suppress pairs, never
     invent them, and a ubiquitous shingle moves Jaccard by O(1/|union|).
-    Never silent: with ``return_dropped=True`` the second return value is the
-    lazily-checkpointed (shingle, df) frame of dropped keys — count it after
-    any action on the pairs for the metrics table (the same
-    consume-after-action pattern as lsh.candidate_pairs' ``capped``).
+    Never silent: whenever the guard engages a warning logs that dropping is
+    in effect, and with ``return_dropped=True`` the second return value is
+    the lazily-checkpointed (shingle, df) frame of dropped keys — count it
+    after any action on the pairs for the metrics table (the same
+    consume-after-action pattern as lsh.candidate_pairs' ``capped``). The
+    capped semantics are what a capped run means; the registered DuckDB
+    oracle models the UNCAPPED contract, which is identical whenever
+    n_docs <= df_cap (always true at the driver's comparison SFs).
     MinHash+LSH below is the sublinear approximation.
     """
     e = _shingles_df(docs, k)
     dropped = None
     # a shingle's df can never exceed the doc count (shingles are distinct
-    # within a doc), so when n_docs <= df_cap the guard cannot bind: one
-    # metadata-cheap count (parquet row-count fast path) skips the df agg
-    # entirely — the fixture-scale corpora pay nothing, web-scale corpora
-    # engage the guard automatically.
-    if df_cap is not None and docs.count() > df_cap:
+    # within a doc), so when n_docs <= df_cap the guard cannot bind and the
+    # df agg is skipped entirely. The count is metadata-cheap for a raw
+    # parquet scan but a real job for a derived frame — callers that already
+    # know the size (or call this repeatedly on the same frame, e.g. the
+    # three closure faces) pass ``n_docs`` to skip the action.
+    if df_cap is not None and n_docs is None:
+        n_docs = docs.count()
+    if df_cap is not None and n_docs > df_cap:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ngram_jaccard_pairs: df_cap guard engaged (n_docs=%d > "
+            "df_cap=%d) — shingles with corpus df > %d are dropped from the "
+            "inverted index (Jaccard only underestimated); pass "
+            "return_dropped=True to count the dropped keys", n_docs, df_cap,
+            df_cap,
+        )
         # df agg is one map-side-combined shuffle; the hot frame is tiny
         # (<= total shingle rows / df_cap keys), so AQE broadcasts the
         # anti-join probe on its own — no forced hint on a data-dependent
@@ -534,15 +551,20 @@ def simhash_confirmed_pairs(
     confirmed pairs. Production callers trading recall for candidate volume
     tune ``hamming_prefilter`` down toward cfg.hamming_max.
     """
-    t = cfg.min_similarity if threshold is None else threshold
+    from replicheck_spark.operators.confirm import _pair_ids
+
+    t = cfg if threshold is None else DedupConfig(
+        **{**cfg.to_dict(), "min_similarity": threshold}
+    )
     sigs = (
         docs.select(
-            "doc_id",
+            F.col("doc_id"),
+            F.col("doc_id").cast("string").alias("url"),
             F.sha2("text", 256).alias("sha256"),
             _sig_col(cfg).alias("sig"),
         )
         .select(
-            "doc_id", "sha256",
+            "doc_id", "url", "sha256",
             F.col("sig.shingles").alias("shingles"),
             F.col("sig.simhash").alias("simhash"),
             F.col("sig.bands").alias("bands"),
@@ -550,34 +572,32 @@ def simhash_confirmed_pairs(
         .localCheckpoint(eager=False)
     )
     cands, _ = candidate_pairs(explode_bands(sigs, cfg), cfg)
-    a = sigs.select(
-        F.col("doc_id").alias("a"), F.col("simhash").alias("a_sim"),
-        F.col("sha256").alias("a_sha"), F.col("shingles").alias("a_sh"),
+    # The cheap prefilter FIRST, on the NARROW (doc_id, simhash) projection
+    # semi-join-pruned to candidate ids (the same prune discipline as
+    # confirm_pairs — never re-shuffle the full signature table, and never
+    # touch the heavy shingle arrays for a candidate the prefilter kills):
+    # one bit_count per candidate.
+    sim = sigs.select("doc_id", "simhash").join(
+        _pair_ids(cands), "doc_id", "left_semi"
     )
-    b = sigs.select(
-        F.col("doc_id").alias("b"), F.col("simhash").alias("b_sim"),
-        F.col("sha256").alias("b_sha"), F.col("shingles").alias("b_sh"),
-    )
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size(F.array_union("a_sh", "b_sh"))
-    rep_edges = (
-        cands.join(a, "a")
-        .join(b, "b")
-        # the cheap prefilter FIRST: one bit_count per candidate prunes
-        # before the shingle arrays are intersected
+    pruned = (
+        cands.join(
+            sim.select(F.col("doc_id").alias("a"), F.col("simhash").alias("a_sim")),
+            "a",
+        )
+        .join(
+            sim.select(F.col("doc_id").alias("b"), F.col("simhash").alias("b_sim")),
+            "b",
+        )
         .filter(
             F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
             <= hamming_prefilter
         )
-        .filter(F.col("a_sha") != F.col("b_sha"))
-        .withColumn(
-            "jaccard",
-            F.when(union > 0, inter.cast("double") / union.cast("double"))
-            .otherwise(F.lit(0.0)),
-        )
-        .filter(F.col("jaccard") >= F.lit(t))
-        .select("a_sha", "b_sha", "jaccard")
+        .select("a", "b")
     )
+    # exact-Jaccard confirm = the ONE shared implementation (semi-join
+    # prune, sha exclusion, threshold) — no second copy of its semantics
+    edges = confirm_pairs(pruned, sigs, t)
     return _expand_exact_members(
-        rep_edges, sigs.select("doc_id", "sha256"), ["jaccard"]
+        edges, sigs.select("doc_id", "sha256"), ["jaccard"]
     )
