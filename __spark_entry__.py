@@ -164,6 +164,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-line semantics are pytest-gated on planted docs
         return line_corpus_dedup(docs(spark, sf), min_docs=2)
 
+    def q_cross_corpus_pairs(spark, sf):
+        # dedupe a "new crawl" (odd doc_ids) against the "existing corpus"
+        # (even doc_ids): every cross-side pair at jaccard >= 0.8, identical
+        # texts included (jaccard 1.0) — checked against the cross-table
+        # shingle-join oracle
+        d = docs(spark, sf)
+        return dedup_ops.cross_corpus_pairs(
+            d.filter(F.col("doc_id") % 2 == 1),
+            d.filter(F.col("doc_id") % 2 == 0),
+            cfg,
+        )
+
     def q_simhash_confirmed_pairs(spark, sf):
         # the SimHash family's oracle-checkable face: Hamming prefilter +
         # exact-Jaccard confirm — output contract identical to the exact
@@ -292,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "cross_corpus_pairs": q_cross_corpus_pairs,
         "cluster_labels": q_cluster_labels,
         "source_dup_summary": q_source_dup_summary,
         "near_dedup_survivors": q_near_dedup_survivors,
@@ -595,6 +608,32 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.8
               AND a_text <> b_text
+        """,
+        "cross_corpus_pairs": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                          FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(t[i:i+4], ' ')
+                                    for i in range(1, greatest(len(t)-3, 2))])
+                       AS s
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, unnest(s) AS shingle, len(s) AS n FROM sh),
+            inter AS (
+              SELECT x.doc_id AS new_id, y.doc_id AS base_id,
+                     count(*) AS n_inter,
+                     any_value(x.n) AS na, any_value(y.n) AS nb
+              FROM ex x JOIN ex y ON x.shingle = y.shingle
+              WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+              GROUP BY 1, 2
+            )
+            SELECT new_id, base_id,
+                   CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)
+                     AS jaccard
+            FROM inter
+            WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)
+                    >= 0.8
         """,
         "cluster_labels": f"""
             WITH RECURSIVE {_SHINGLES_CTE.strip().rstrip()},

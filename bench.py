@@ -82,6 +82,7 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "minhash_lsh_pairs",
         "simhash_pairs",
         "simhash_confirmed_pairs",
+        "cross_corpus_pairs",
         "line_corpus_dedup",
         "doc_fingerprint",
         "knn_bruteforce",

@@ -485,6 +485,107 @@ def decontaminate(train: DataFrame, bench: DataFrame, n: int = 13) -> DataFrame:
     )
 
 
+def cross_corpus_pairs(
+    new: DataFrame, base: DataFrame, cfg: DedupConfig,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Dedupe a NEW corpus against an EXISTING one (the batch face of the
+    streaming store join, streaming/incremental.py:236-266 — and the
+    standard pretraining-data operation: flag a fresh crawl's docs that
+    already exist, exactly or nearly, in the training set): one row per
+    cross-corpus duplicate pair, (new_id, base_id, jaccard), jaccard >=
+    threshold INCLUDING identical texts (jaccard 1.0) — unlike the
+    within-corpus minhash_lsh_pairs, there is no separate exact stage to
+    defer to, so exact hits belong in this listing.
+
+    Dataflow (each piece the shared one):
+    * exact hits: sha256 equi-join new x base — every holder pairs with
+      every holder, jaccard 1.0, no shingle work;
+    * near hits: rep-per-sha suppression on EACH side (giant identical
+      groups cost O(group)), new-rep band rows joined against the base
+      side's salted capped band buckets (capped_id_buckets — a hot band
+      shared by m base and n new docs would otherwise fan out m*n rows
+      unbounded; truncation metered via the logged drain), oriented
+      candidates (a=new rep, b=base rep), confirm_pairs for the pruned
+      exact-Jaccard confirm (excludes identical shas — those are the exact
+      hits above), then member expansion per side.
+
+    Output contract is SQL-expressible (exact Jaccard >= t across the two
+    tables), so the driver checks it against the shingle-join oracle — same
+    trick as minhash_lsh_pairs (band miss ~5e-8; zero at jaccard 1.0).
+    """
+    t = cfg if threshold is None else DedupConfig(
+        **{**cfg.to_dict(), "min_similarity": threshold}
+    )
+
+    def sigs_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col("doc_id"),
+                F.col("doc_id").cast("string").alias("url"),
+                F.sha2("text", 256).alias("sha256"),
+                _sig_col(cfg).alias("sig"),
+            )
+            .select(
+                "doc_id", "url", "sha256",
+                F.col("sig.shingles").alias("shingles"),
+                F.col("sig.simhash").alias("simhash"),
+                F.col("sig.bands").alias("bands"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    sn, sb = sigs_of(new), sigs_of(base)
+
+    exact = (
+        sn.select(F.col("sha256"), F.col("doc_id").alias("new_id"))
+        .join(sb.select("sha256", F.col("doc_id").alias("base_id")), "sha256")
+        .select("new_id", "base_id", F.lit(1.0).alias("jaccard"))
+    )
+
+    from replicheck_spark.operators.lsh import capped_id_buckets
+
+    def reps(s: DataFrame) -> DataFrame:
+        return s.groupBy("sha256").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("bands").alias("bands"),  # identical within a sha group
+        )
+
+    new_bands = reps(sn).select(
+        F.col("doc_id").alias("a"),
+        F.posexplode("bands").alias("band_id", "band_hash"),
+    )
+    base_buckets = capped_id_buckets(
+        reps(sb).select(
+            "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+        ).withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets))
+        ),
+        ["band_id", "band_hash"], cfg.bucket_cap,
+    ).localCheckpoint(eager=False)
+    cands = (
+        new_bands.join(base_buckets, ["band_id", "band_hash"])
+        .select("a", F.explode("ids").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    edges = confirm_pairs(cands, sn.unionByName(sb), t).select(
+        "a_sha", "b_sha", "jaccard"
+    ).localCheckpoint(eager=False)
+    # oriented member expansion (a_sha = new side, b_sha = base side), each
+    # member table semi-join-pruned to shas that carry a confirmed edge —
+    # same discipline as _expand_exact_members, without its a<b reorder
+    # (orientation IS the semantics here)
+    mn = sn.select(F.col("sha256").alias("a_sha"), F.col("doc_id").alias("new_id"))
+    mn = mn.join(edges.select("a_sha").distinct(), "a_sha", "left_semi")
+    mb = sb.select(F.col("sha256").alias("b_sha"), F.col("doc_id").alias("base_id"))
+    mb = mb.join(edges.select("b_sha").distinct(), "b_sha", "left_semi")
+    near = (
+        edges.join(mn, "a_sha").join(mb, "b_sha")
+        .select("new_id", "base_id", "jaccard")
+    )
+    return exact.unionByName(near)
+
+
 def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     """SimHash near-dup pairs: LSH candidates filtered by Hamming <=
     hamming_max: (a, b, hamming). Rows-only correctness check (SimHash is not

@@ -194,3 +194,24 @@ def test_near_dedup_survivors_keeps_canonical_and_singletons(spark):
     # unrelated 4 survives untouched.
     assert set(rows) == {1, 4}
     assert rows[1]["source"] == "crawl-a" and rows[4]["lang"] == "de"
+
+
+def test_cross_corpus_pairs_exact_and_near_with_member_expansion(spark):
+    """Batch delta-vs-base dedup: identical texts across corpora list at
+    jaccard 1.0 (every holder x every holder), near texts at their exact
+    jaccard; within-side duplicates expand through the per-side rep
+    suppression; orientation is (new_id, base_id), never reordered."""
+    base_text = " ".join(f"tok{i}" for i in range(100))
+    near_text = " ".join(f"tok{i}" for i in range(99)) + " CHANGED"
+    other = " ".join(f"zzz{i}" for i in range(100))
+    base = _docs(spark, {2: base_text, 4: base_text, 6: other})
+    new = _docs(spark, {1: base_text, 3: near_text, 5: " ".join(f"qqq{i}" for i in range(100))})
+    got = {
+        (r["new_id"], r["base_id"]): round(r["jaccard"], 6)
+        for r in dedup_ops.cross_corpus_pairs(new, base, DedupConfig()).collect()
+    }
+    # new 1 is byte-identical to base 2 AND 4 (jaccard 1.0); new 3 is near
+    # both; new 5 and base 6 match nothing
+    assert set(got) == {(1, 2), (1, 4), (3, 2), (3, 4)}
+    assert got[(1, 2)] == got[(1, 4)] == 1.0
+    assert got[(3, 2)] == got[(3, 4)] >= 0.8 and got[(3, 2)] < 1.0
