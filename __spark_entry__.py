@@ -164,6 +164,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-line semantics are pytest-gated on planted docs
         return line_corpus_dedup(docs(spark, sf), min_docs=2)
 
+    def q_near_pairs_within_lang(spark, sf):
+        # scope-partitioned near-dup: pairs restricted to docs sharing lang
+        # (the 10^12-doc standard — cross-language pairs are meaningless
+        # work); one pass, scope folded into the bucket + identity keys
+        return dedup_ops.minhash_lsh_pairs(docs(spark, sf), cfg,
+                                           scope_col="lang")
+
     def q_cross_corpus_pairs(spark, sf):
         # dedupe a "new crawl" (odd doc_ids) against the "existing corpus"
         # (even doc_ids): every cross-side pair at jaccard >= 0.8, identical
@@ -304,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "near_pairs_within_lang": q_near_pairs_within_lang,
         "cross_corpus_pairs": q_cross_corpus_pairs,
         "cluster_labels": q_cluster_labels,
         "source_dup_summary": q_source_dup_summary,
@@ -607,6 +615,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
             FROM inter
             WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) >= 0.8
+              AND a_text <> b_text
+        """,
+        "near_pairs_within_lang": """
+            WITH toks AS (SELECT doc_id, text, lang,
+                                 string_split(text, ' ') AS t
+                          FROM documents),
+            sh AS (
+              SELECT doc_id, text, lang,
+                     list_distinct([array_to_string(t[i:i+4], ' ')
+                                    for i in range(1, greatest(len(t)-3, 2))])
+                       AS s
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, text, lang, unnest(s) AS shingle,
+                          len(s) AS n
+                   FROM sh),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter,
+                     any_value(x.n) AS na, any_value(y.n) AS nb,
+                     any_value(x.text) AS a_text, any_value(y.text) AS b_text
+              FROM ex x JOIN ex y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+               AND x.lang = y.lang
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)
+                     AS jaccard
+            FROM inter
+            WHERE CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE)
+                    >= 0.8
               AND a_text <> b_text
         """,
         "cross_corpus_pairs": """

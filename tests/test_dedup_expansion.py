@@ -215,3 +215,31 @@ def test_cross_corpus_pairs_exact_and_near_with_member_expansion(spark):
     assert set(got) == {(1, 2), (1, 4), (3, 2), (3, 4)}
     assert got[(1, 2)] == got[(1, 4)] == 1.0
     assert got[(3, 2)] == got[(3, 4)] >= 0.8 and got[(3, 2)] < 1.0
+
+
+def test_minhash_scope_col_restricts_pairs_to_same_scope(spark):
+    """scope_col partitions pairing: a near pair split across languages is
+    NOT emitted; the same pair within one language is. Identical texts in
+    different scopes must neither pair nor leak through rep suppression
+    (scope is folded into both the sha key and the band hashes)."""
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99)) + " CHANGED"
+    rows = [
+        (1, base, "en"), (2, near, "en"),   # same-lang near pair -> emitted
+        (3, base, "de"),                    # near 1/2 but cross-lang -> not
+        (4, base, "fr"),                    # identical to 1/3, cross-lang
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["a"], r["b"])
+        for r in dedup_ops.minhash_lsh_pairs(
+            docs, DedupConfig(), scope_col="lang"
+        ).collect()
+    }
+    assert got == {(1, 2)}
+    # unscoped, the same corpus yields every cross-lang near pair too
+    unscoped = {
+        (r["a"], r["b"])
+        for r in dedup_ops.minhash_lsh_pairs(docs, DedupConfig()).collect()
+    }
+    assert unscoped == {(1, 2), (2, 3), (2, 4)}
