@@ -243,3 +243,30 @@ def test_minhash_scope_col_restricts_pairs_to_same_scope(spark):
         for r in dedup_ops.minhash_lsh_pairs(docs, DedupConfig()).collect()
     }
     assert unscoped == {(1, 2), (2, 3), (2, 4)}
+
+
+def test_new_pair_operators_evaluate_signature_udf_once(planted, spark):
+    """Same single-evaluation discipline as minhash_lsh_pairs: the lazily
+    checkpointed signature frame means the executed plan contains ZERO
+    ArrowEvalPython nodes for every new pair operator (the UDF runs inside
+    the checkpoint materialization, once)."""
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "ArrowEvalPython" not in plan_of(
+        dedup_ops.simhash_confirmed_pairs(planted, DedupConfig())
+    )
+    assert "ArrowEvalPython" not in plan_of(
+        dedup_ops.minhash_lsh_pairs(planted, DedupConfig())
+    )
+    base = " ".join(f"tok{i}" for i in range(100))
+    other = _docs(spark, {10: base})
+    assert "ArrowEvalPython" not in plan_of(
+        dedup_ops.cross_corpus_pairs(planted, other, DedupConfig())
+    )
+    langd = spark.createDataFrame(
+        [(1, base, "en"), (2, base, "de")], "doc_id long, text string, lang string"
+    )
+    assert "ArrowEvalPython" not in plan_of(
+        dedup_ops.minhash_lsh_pairs(langd, DedupConfig(), scope_col="lang")
+    )
