@@ -597,6 +597,23 @@ def cross_corpus_pairs(
         ),
         ["band_id", "band_hash"], cfg.bucket_cap,
     ).localCheckpoint(eager=False)
+    # bucket truncation is metered, never silent: the observe rides
+    # DOWNSTREAM of the lazy checkpoint (upstream would resolve to zero
+    # forever, see candidate_pairs) and flushes through the shared
+    # non-blocking drain once the consuming action has run
+    from pyspark.sql import Observation
+
+    from replicheck_spark.operators.similarity import (
+        _PENDING_OVERFLOW,
+        drain_overflow_logs,
+    )
+
+    drain_overflow_logs()
+    _obs = Observation()
+    base_buckets = base_buckets.observe(
+        _obs, F.coalesce(F.sum("overflow"), F.lit(0)).alias("overflow_total")
+    )
+    _PENDING_OVERFLOW.append((_obs, "cross_corpus_pairs.base_buckets"))
     cands = (
         new_bands.join(base_buckets, ["band_id", "band_hash"])
         .select("a", F.explode("ids").alias("b"))
