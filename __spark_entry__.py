@@ -171,6 +171,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_ops.minhash_lsh_pairs(docs(spark, sf), cfg,
                                            scope_col="lang")
 
+    def q_line_corpus_dedup_keepfirst(spark, sf):
+        from replicheck_spark.operators.blocks import line_corpus_dedup
+
+        # C4 "discard all but one" semantics: the globally-first occurrence
+        # (min (doc_id, line_idx)) of each repeated line survives
+        return line_corpus_dedup(docs(spark, sf), min_docs=2, keep_first=True)
+
     def q_cross_corpus_pairs(spark, sf):
         # dedupe a "new crawl" (odd doc_ids) against the "existing corpus"
         # (even doc_ids): every cross-side pair at jaccard >= 0.8, identical
@@ -323,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "boilerplate_strip": q_boilerplate_strip,
         "line_corpus_dedup": q_line_corpus_dedup,
+        "line_corpus_dedup_keepfirst": q_line_corpus_dedup_keepfirst,
         "simhash_confirmed_pairs": q_simhash_confirmed_pairs,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_lsh": q_knn_lsh,
@@ -869,6 +877,35 @@ def oracle_sql() -> dict[str, str]:
                        FILTER (WHERE trim(ln) NOT IN (SELECT t FROM rep)),
                      chr(10)), '') AS clean_text
             FROM l GROUP BY doc_id
+        """,
+        "line_corpus_dedup_keepfirst": """
+            WITH l AS (
+              SELECT doc_id, s.idx, s.ln FROM (
+                SELECT doc_id,
+                       [{'idx': i, 'ln': ls[i]} for i in range(1, len(ls)+1)]
+                         AS lst
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                      FROM documents)
+              ), unnest(lst) AS z(s)
+            ),
+            rep AS (
+              SELECT trim(ln) AS t,
+                     (min({'d': doc_id, 'i': idx}))['d'] AS kd,
+                     (min({'d': doc_id, 'i': idx}))['i'] AS ki
+              FROM l WHERE trim(ln) <> ''
+              GROUP BY trim(ln) HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id, count(*) AS n_lines,
+                   count(*) FILTER (WHERE r.t IS NOT NULL
+                                      AND NOT (doc_id = r.kd AND idx = r.ki))
+                     AS n_removed,
+                   coalesce(array_to_string(
+                     list(ln ORDER BY idx)
+                       FILTER (WHERE r.t IS NULL
+                                 OR (doc_id = r.kd AND idx = r.ki)),
+                     chr(10)), '') AS clean_text
+            FROM l LEFT JOIN rep r ON trim(l.ln) = r.t
+            GROUP BY doc_id
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb

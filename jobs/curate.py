@@ -1,0 +1,238 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the CURATION pass — the training-data
+pipeline face of the engine, composing the driver-checked curation
+operators into one resumable job:
+
+  1. signals   — quality score + Gopher repetition flags on the RAW text
+                 (textops.corpus_filter); docs failing either are dropped
+                 (PII presence does NOT drop a doc — it gets scrubbed)
+  2. scrub     — PII redaction (textops.pii_scrub): text := clean_text
+  3. line      — C4-style corpus-frequency line removal
+                 (blocks.line_corpus_dedup); docs whose text becomes empty
+                 are dropped (counted, never silent)
+  4. decon     — optional GPT-3-style n-gram decontamination against
+                 --bench (dedup_ops.decontaminate); contaminated docs drop
+  5. dedup     — near-duplicate removal: LSH edges + exact star edges →
+                 connected components → keep one canonical doc per cluster
+                 (dedup_ops.cluster_labels(method="lsh") — the 100x path)
+
+Each stage output is a checkpointed table under --ckpt/--run-id with the
+same _SUCCESS/resume contract as jobs/dedup.py (re-run with the same ids →
+finished stages are read back). The report is per-stage lineage: rows in /
+rows out / dropped — capped or dropped work is counted, never silent.
+
+Usage (sandbox):
+    python jobs/curate.py --synth 2000 --ckpt /tmp/cur --run-id demo
+    python jobs/curate.py --docs documents.parquet --ckpt /tmp/cur
+
+Production: spark-submit --py-files dist/replicheck_spark.zip jobs/curate.py \
+    --docs <iceberg-or-parquet> --ckpt <table-root> --run-id <id>
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="replicheck_spark curation job")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--docs", help="parquet path of a documents table "
+                     "(doc_id, text, lang, source)")
+    src.add_argument("--pages", help="parquet path of a pages table "
+                     "(url, warc_ts, html, text, lang) — extracted to docs")
+    src.add_argument("--synth", type=int,
+                     help="synthesize N-doc planted pages corpus")
+    p.add_argument("--ckpt", required=True, help="checkpoint root directory")
+    p.add_argument("--run-id", default="curate0")
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--line-min-docs", type=int, default=2,
+                   help="corpus-frequency threshold for line removal")
+    p.add_argument("--no-line-dedup", action="store_true")
+    p.add_argument("--bench", default=None,
+                   help="parquet path of a benchmark/eval documents table; "
+                   "enables the decontamination stage")
+    p.add_argument("--decon-n", type=int, default=13,
+                   help="n-gram size for decontamination (GPT-3 default 13)")
+    p.add_argument("--threshold", type=float, default=0.8,
+                   help="near-dup Jaccard threshold for the dedup stage")
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--master", default=None)
+    p.add_argument("--output", default=None, metavar="PATH",
+                   help="write the JSON lineage report to PATH")
+    p.add_argument("--iceberg-catalog", default=None,
+                   help="write stage tables to this Iceberg catalog instead "
+                   "of parquet dirs under --ckpt")
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import functions as F
+
+    from replicheck_spark.config import DedupConfig
+    from replicheck_spark.operators import dedup_ops, textops
+    from replicheck_spark.operators.blocks import line_corpus_dedup
+    from replicheck_spark.session import get_spark
+    from replicheck_spark.sources.io import TableIO
+
+    cfg = DedupConfig(
+        min_similarity=args.threshold, shingle_k=args.shingle_k,
+        seed=args.seed,
+    )
+    spark = get_spark("replicheck_spark_curate", master=args.master)
+    io = TableIO(spark, args.ckpt, args.run_id,
+                 iceberg_catalog=args.iceberg_catalog)
+    report: dict[str, dict] = {}
+    t0 = time.monotonic()
+
+    def stage(name: str, rows_in: int, build):
+        """Resumable stage + lineage row. rows_in = -1 means unknown (a
+        resumed upstream whose input count was never re-measured)."""
+        if io.exists(name):
+            df = io.read(name)
+            resumed = True
+        else:
+            io.write(name, build())
+            df = io.read(name)
+            resumed = False
+        rows_out = df.count()
+        report[name] = {
+            "rows_in": rows_in, "rows_out": rows_out,
+            "dropped": (rows_in - rows_out) if rows_in >= 0 else -1,
+            "resumed": resumed,
+        }
+        return df, rows_out
+
+    # ---- input ----------------------------------------------------------
+    if args.synth is not None:
+        if args.synth <= 0:
+            raise SystemExit(f"--synth must be positive, got {args.synth}")
+        from replicheck_spark.corpus import write_pages_parquet
+
+        pages_path = tempfile.mkdtemp(prefix="pages_") + "/pages.parquet"
+        write_pages_parquet(pages_path, n_docs=args.synth, seed=args.seed)
+        print(f"[synth] wrote {args.synth}-doc planted corpus to {pages_path}")
+        args.pages = pages_path
+
+    if args.pages is not None:
+        from replicheck_spark.operators.extract import extract_docs
+
+        pages = spark.read.parquet(args.pages)
+        docs0, n0 = stage("docs", pages.count(), lambda: extract_docs(
+            pages
+        ).select(
+            F.col("doc_id"),
+            F.col("norm_text").alias("text"),
+            F.col("lang"),
+            F.col("host").alias("source"),
+        ))
+    else:
+        raw = spark.read.parquet(args.docs)
+        docs0, n0 = stage("docs", raw.count(), lambda: raw.select(
+            "doc_id", "text",
+            *(c for c in ("lang", "source") if c in raw.columns),
+        ))
+
+    # ---- 1. quality + repetition signals (raw text) ---------------------
+    def build_filtered():
+        verdicts = textops.corpus_filter(docs0, min_quality=args.min_quality)
+        # PII does not drop a doc (it is scrubbed next); quality and
+        # repetition do
+        keep = verdicts.filter(
+            (F.col("quality") >= args.min_quality) & ~F.col("repetitive")
+        ).select("doc_id")
+        return docs0.join(keep, "doc_id", "left_semi")
+
+    filtered, n1 = stage("filtered", n0, build_filtered)
+
+    # ---- 2. PII scrub ----------------------------------------------------
+    def build_scrubbed():
+        clean = textops.pii_scrub(filtered).select("doc_id", "clean_text")
+        return filtered.drop("text").join(clean, "doc_id").withColumnRenamed(
+            "clean_text", "text"
+        )
+
+    scrubbed, n2 = stage("scrubbed", n1, build_scrubbed)
+
+    # ---- 3. line-level corpus-frequency dedup ---------------------------
+    cur = scrubbed
+    n_cur = n2
+    if not args.no_line_dedup:
+        def build_lined():
+            # keep_first: C4 semantics — repeated content is reduced to one
+            # copy, never annihilated (the default strip-all would delete
+            # BOTH copies of an exact-dup doc before the dedup stage could
+            # pick a canonical)
+            stripped = line_corpus_dedup(
+                scrubbed, min_docs=args.line_min_docs, keep_first=True
+            ).select("doc_id", F.col("clean_text"))
+            out = scrubbed.drop("text").join(stripped, "doc_id") \
+                .withColumnRenamed("clean_text", "text")
+            # a doc whose every line was corpus-boilerplate is dropped
+            # (counted via the stage's rows_in - rows_out)
+            return out.filter(F.trim(F.col("text")) != "")
+
+        cur, n_cur = stage("line_dedup", n2, build_lined)
+
+    # ---- 4. optional decontamination -------------------------------------
+    if args.bench is not None:
+        bench = spark.read.parquet(args.bench).select("doc_id", "text")
+
+        def build_decon():
+            flags = dedup_ops.decontaminate(cur, bench, n=args.decon_n)
+            dirty = flags.filter(F.col("contaminated")).select("doc_id")
+            return cur.join(dirty, "doc_id", "left_anti")
+
+        cur, n_cur = stage("decontaminated", n_cur, build_decon)
+
+    # ---- 5. near-dedup (LSH edges + exact stars -> CC -> canonical) -----
+    if not args.no_dedup:
+        def build_deduped():
+            labels = dedup_ops.cluster_labels(
+                cur, k=args.shingle_k, threshold=args.threshold,
+                method="lsh", cfg=cfg,
+            )
+            dropped = labels.filter(
+                F.col("doc_id") != F.col("cluster_id")
+            ).select("doc_id")
+            return cur.join(dropped, "doc_id", "left_anti")
+
+        cur, n_cur = stage("curated", n_cur, build_deduped)
+
+    wall = time.monotonic() - t0
+    out = {
+        "stages": report,
+        "docs_in": n0,
+        "docs_out": n_cur,
+        "kept_frac": round(n_cur / n0, 4) if n0 else None,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n0 / wall, 1) if wall > 0 else None,
+        "run_id": args.run_id,
+        "ckpt": args.ckpt,
+    }
+    rendered = json.dumps(out, indent=2)
+    print(rendered)
+    if args.output:
+        try:
+            with open(args.output, "w") as f:
+                f.write(rendered)
+            print(f"[report] written to {args.output}")
+        except OSError as e:  # console fallback, reference save semantics
+            print(f"[report] write failed ({e}); report printed above")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -218,14 +218,26 @@ def boilerplate_strip(
 def line_corpus_dedup(
     docs: DataFrame, min_docs: int = 2,
     broadcast_bytes_limit: int = 256 * 1024 * 1024,
+    keep_first: bool = False,
 ) -> DataFrame:
-    """C4-style LINE-level corpus-frequency dedup (Raffel et al. 2020 §2.2
-    remove repeated lines corpus-wide): a line whose trimmed text is
-    non-empty and occurs in >= ``min_docs`` DISTINCT documents is stripped
-    from every document. Newline-granular — the complement of the
-    fixed-50-token-window ``boilerplate_strip`` (which misses short repeated
-    lines) and the within-doc ``repetition_stats`` (which cannot see
-    corpus-wide repeats).
+    """LINE-level corpus-frequency dedup: a line whose trimmed text is
+    non-empty and occurs in >= ``min_docs`` DISTINCT documents is stripped.
+    Newline-granular — the complement of the fixed-50-token-window
+    ``boilerplate_strip`` (which misses short repeated lines) and the
+    within-doc ``repetition_stats`` (which cannot see corpus-wide repeats).
+
+    Two published semantics, selected by ``keep_first``:
+
+    * ``keep_first=False`` (default, the driver-checked contract): strip
+      EVERY occurrence — CCNet's paragraph-hash removal, where a repeated
+      unit is treated as boilerplate wherever it appears. An exact-duplicate
+      document loses its whole text in every copy.
+    * ``keep_first=True``: the globally FIRST occurrence (min (doc_id,
+      line_idx) — deterministic, engine-independent) survives; every later
+      occurrence is stripped — C4's "discard all but one" (Raffel et al.
+      2020 §2.2). This is what a curation pass composing with near-dedup
+      wants (jobs/curate.py): content repeated N times is reduced to one
+      copy, never annihilated.
 
     Output, one row per input doc: (doc_id, n_lines, n_removed, clean_text).
     ``n_lines`` counts every split line (empty ones included); ``clean_text``
@@ -245,16 +257,26 @@ def line_corpus_dedup(
     exploded = docs.select(
         "doc_id", F.posexplode(lines_arr).alias("line_idx", "line")
     ).withColumn("lh", F.xxhash64(F.trim(F.col("line"))))
+    # keep_first needs the keeper occurrence per repeated line: min
+    # (doc_id, line_idx), computed in the SAME aggregation as the
+    # distinct-doc frequency (24 extra bytes per key, no extra shuffle).
     boiler = (
         exploded.filter(F.trim(F.col("line")) != "")
         .groupBy("lh")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.struct("doc_id", "line_idx")).alias("keeper"),
+        )
         .filter(F.col("n_docs") >= min_docs)
-        .select("lh")
+        .select(
+            "lh",
+            F.col("keeper.doc_id").alias("keep_doc"),
+            F.col("keeper.line_idx").alias("keep_idx"),
+        )
         .localCheckpoint(eager=False)
     )
     boiler_hint, _ = _gated_hint(
-        boiler, 24, broadcast_bytes_limit, "line_corpus_dedup.lines"
+        boiler, 48, broadcast_bytes_limit, "line_corpus_dedup.lines"
     )
     affected_ids = (
         exploded.join(boiler_hint(boiler), "lh")
@@ -265,10 +287,16 @@ def line_corpus_dedup(
     aff_hint, _ = _gated_hint(
         affected_ids, 24, broadcast_bytes_limit, "line_corpus_dedup.affected"
     )
+    hit = F.col("keep_doc").isNotNull()
+    if keep_first:
+        hit = hit & ~(
+            (F.col("doc_id") == F.col("keep_doc"))
+            & (F.col("line_idx") == F.col("keep_idx"))
+        )
     marked = (
         exploded.join(aff_hint(affected_ids), "doc_id", "left_semi")
-        .join(boiler_hint(boiler.withColumn("is_rep", F.lit(True))), "lh", "left")
-        .withColumn("is_rep", F.coalesce("is_rep", F.lit(False)))
+        .join(boiler_hint(boiler), "lh", "left")
+        .withColumn("is_rep", hit)
     )
     rebuilt = marked.groupBy("doc_id").agg(
         F.count("*").alias("n_lines"),

@@ -205,3 +205,39 @@ def test_line_corpus_dedup_duckdb_parity_on_newline_shapes(spark, newline_dir):
         assert removed[i] == 0
         assert clean[i] == {4: "a4\n\n\nb4", 5: "a5\n   \nb5", 7: "",
                             8: "solo\nsolo\nsolo"}[i]
+
+
+def test_line_corpus_dedup_keepfirst_parity_and_semantics(spark, newline_dir):
+    scols, srows = _run(spark, newline_dir, "line_corpus_dedup_keepfirst")
+    ocols, orows = _oracle(
+        newline_dir, entry_mod.oracle_sql()["line_corpus_dedup_keepfirst"]
+    )
+    ns, no = _normalize(scols, srows), _normalize(ocols, orows)
+    assert ns[0] == no[0] and ns[1] == no[1]
+    by_id = {r[0]: r for r in srows}
+    clean = {i: by_id[i][scols.index("clean_text")] for i in by_id}
+    removed = {i: by_id[i][scols.index("n_removed")] for i in by_id}
+    # C4 semantics: the globally FIRST occurrence survives. HEADER's keeper
+    # is (doc 1, idx 0) -> doc 1 keeps HEADER, docs 2/3 lose it; FOOTER's
+    # keeper is (doc 1, idx 2) -> doc 2 loses its copy.
+    assert removed[1] == 0 and clean[1] == "HEADER\nunique one\nFOOTER"
+    assert removed[2] == 2 and clean[2] == "unique two\n"
+    assert removed[3] == 1 and clean[3] == ""
+    # within-doc repeats of a non-corpus-repeated line are untouched either way
+    assert removed[8] == 0 and clean[8] == "solo\nsolo\nsolo"
+
+
+def test_line_corpus_dedup_keepfirst_within_doc_repeats(spark):
+    """A line repeated in >=2 docs AND multiple times within the keeper doc:
+    only the keeper's FIRST occurrence survives ('all but one' globally)."""
+    from replicheck_spark.operators.blocks import line_corpus_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "X\nmid\nX"), (2, "X\nother")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_corpus_dedup(docs, keep_first=True).collect()
+    }
+    assert out[1]["n_removed"] == 1 and out[1]["clean_text"] == "X\nmid"
+    assert out[2]["n_removed"] == 1 and out[2]["clean_text"] == "other"
