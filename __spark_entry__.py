@@ -190,6 +190,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cfg,
         )
 
+    def q_cross_corpus_matches(spark, sf):
+        # the LINEAR per-new-doc rollup of cross_corpus_pairs (the 100x
+        # face: output bounded by |new|, no pair-listing materialization)
+        d = docs(spark, sf)
+        return dedup_ops.cross_corpus_matches(
+            d.filter(F.col("doc_id") % 2 == 1),
+            d.filter(F.col("doc_id") % 2 == 0),
+            cfg,
+        )
+
     def q_simhash_confirmed_pairs(spark, sf):
         # the SimHash family's oracle-checkable face: Hamming prefilter +
         # exact-Jaccard confirm — output contract identical to the exact
@@ -320,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "near_pairs_within_lang": q_near_pairs_within_lang,
         "cross_corpus_pairs": q_cross_corpus_pairs,
+        "cross_corpus_matches": q_cross_corpus_matches,
         "cluster_labels": q_cluster_labels,
         "source_dup_summary": q_source_dup_summary,
         "near_dedup_survivors": q_near_dedup_survivors,
@@ -988,6 +999,13 @@ def oracle_sql() -> dict[str, str]:
     # radius-28 prefilter). Full-probe IVF degenerates to brute force by
     # construction, so it shares the brute-force oracle.
     sql["simhash_confirmed_pairs"] = sql["minhash_lsh_pairs"]
+    # the per-new-doc rollup composes the pair oracle as a subquery (the
+    # same reuse pattern as corpus_filter / source_dup_summary)
+    sql["cross_corpus_matches"] = f"""
+        SELECT new_id, count(*) AS n_base_matches,
+               max(jaccard) AS max_jaccard
+        FROM ({sql["cross_corpus_pairs"]}) GROUP BY new_id
+    """
     sql["knn_ivf_fullprobe"] = sql["knn_bruteforce"]
     # The composed curation verdict reuses the per-signal oracles verbatim as
     # subqueries, so a fix in any signal's SQL propagates automatically.

@@ -83,6 +83,7 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "simhash_pairs",
         "simhash_confirmed_pairs",
         "cross_corpus_pairs",
+        "cross_corpus_matches",
         "near_pairs_within_lang",
         "line_corpus_dedup",
         "doc_fingerprint",

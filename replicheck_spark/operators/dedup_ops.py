@@ -547,7 +547,95 @@ def cross_corpus_pairs(
     Output contract is SQL-expressible (exact Jaccard >= t across the two
     tables), so the driver checks it against the shingle-join oracle — same
     trick as minhash_lsh_pairs (band miss ~5e-8; zero at jaccard 1.0).
+
+    SCALE CAVEAT — this is the LISTING face: its output is the declared
+    O(|A| x |B|) per matching text group (measured 198M pairs on a planted
+    1.6M-doc corpus with large identical groups split across the sides).
+    The linear per-new-doc rollup a curation run should use at 100x is
+    ``cross_corpus_matches`` below.
     """
+    sn, sb, edges = _cross_corpus_edges(new, base, cfg, threshold)
+    exact = (
+        sn.select(F.col("sha256"), F.col("doc_id").alias("new_id"))
+        .join(sb.select("sha256", F.col("doc_id").alias("base_id")), "sha256")
+        .select("new_id", "base_id", F.lit(1.0).alias("jaccard"))
+    )
+    # oriented member expansion (a_sha = new side, b_sha = base side), each
+    # member table semi-join-pruned to shas that carry a confirmed edge —
+    # same discipline as _expand_exact_members, without its a<b reorder
+    # (orientation IS the semantics here)
+    mn = sn.select(F.col("sha256").alias("a_sha"), F.col("doc_id").alias("new_id"))
+    mn = mn.join(edges.select("a_sha").distinct(), "a_sha", "left_semi")
+    mb = sb.select(F.col("sha256").alias("b_sha"), F.col("doc_id").alias("base_id"))
+    mb = mb.join(edges.select("b_sha").distinct(), "b_sha", "left_semi")
+    near = (
+        edges.join(mn, "a_sha").join(mb, "b_sha")
+        .select("new_id", "base_id", "jaccard")
+    )
+    return exact.unionByName(near)
+
+
+def cross_corpus_matches(
+    new: DataFrame, base: DataFrame, cfg: DedupConfig,
+    threshold: float | None = None,
+) -> DataFrame:
+    """LINEAR per-new-doc rollup of cross_corpus_pairs — the face a curation
+    run uses at 100x: one row per NEW doc with at least one base match,
+    (new_id, n_base_matches, max_jaccard), where n_base_matches counts the
+    DISTINCT base docs at jaccard >= threshold (identical texts included at
+    1.0). Output is bounded by |new|; nothing ever materializes the
+    O(|A| x |B|) pair listing: exact matches aggregate through per-sha base
+    group COUNTS, and near matches aggregate at the representative level
+    (per (a_sha, b_sha) edge, weighted by the base group's size) before the
+    single sha-keyed join back to new members. A base doc is counted once
+    per new doc: its sha either equals the new doc's sha (exact) or pairs
+    with it in at most one confirmed edge (near; confirm excludes equal
+    shas). Same SQL-expressible contract as the listing, aggregated —
+    driver-checked against the grouped shingle-join oracle.
+    """
+    sn, sb, edges = _cross_corpus_edges(new, base, cfg, threshold)
+    base_counts = sb.groupBy("sha256").agg(F.count("*").alias("n_base"))
+    exact_m = (
+        sn.select("doc_id", "sha256")
+        .join(base_counts, "sha256")
+        .select(
+            F.col("doc_id").alias("new_id"),
+            F.col("n_base"),
+            F.lit(1.0).alias("jac"),
+        )
+    )
+    near_per_sha = (
+        edges.join(
+            base_counts.withColumnRenamed("sha256", "b_sha"), "b_sha"
+        )
+        .groupBy("a_sha")
+        .agg(
+            F.sum("n_base").alias("n_base"),
+            F.max("jaccard").alias("jac"),
+        )
+    )
+    near_m = (
+        sn.select("doc_id", F.col("sha256").alias("a_sha"))
+        .join(near_per_sha, "a_sha")
+        .select(F.col("doc_id").alias("new_id"), "n_base", "jac")
+    )
+    return (
+        exact_m.unionByName(near_m)
+        .groupBy("new_id")
+        .agg(
+            F.sum("n_base").alias("n_base_matches"),
+            F.max("jac").alias("max_jaccard"),
+        )
+    )
+
+
+def _cross_corpus_edges(
+    new: DataFrame, base: DataFrame, cfg: DedupConfig,
+    threshold: float | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared candidate/confirm machinery of the two cross-corpus faces:
+    -> (sigs_new, sigs_base, rep_edges(a_sha, b_sha, jaccard)) with a_sha
+    always the NEW side. See cross_corpus_pairs for the dataflow notes."""
     t = cfg if threshold is None else DedupConfig(
         **{**cfg.to_dict(), "min_similarity": threshold}
     )
@@ -570,12 +658,6 @@ def cross_corpus_pairs(
         )
 
     sn, sb = sigs_of(new), sigs_of(base)
-
-    exact = (
-        sn.select(F.col("sha256"), F.col("doc_id").alias("new_id"))
-        .join(sb.select("sha256", F.col("doc_id").alias("base_id")), "sha256")
-        .select("new_id", "base_id", F.lit(1.0).alias("jaccard"))
-    )
 
     from replicheck_spark.operators.lsh import capped_id_buckets
 
@@ -613,7 +695,7 @@ def cross_corpus_pairs(
     base_buckets = base_buckets.observe(
         _obs, F.coalesce(F.sum("overflow"), F.lit(0)).alias("overflow_total")
     )
-    _PENDING_OVERFLOW.append((_obs, "cross_corpus_pairs.base_buckets"))
+    _PENDING_OVERFLOW.append((_obs, "cross_corpus.base_buckets"))
     cands = (
         new_bands.join(base_buckets, ["band_id", "band_hash"])
         .select("a", F.explode("ids").alias("b"))
@@ -622,19 +704,7 @@ def cross_corpus_pairs(
     edges = confirm_pairs(cands, sn.unionByName(sb), t).select(
         "a_sha", "b_sha", "jaccard"
     ).localCheckpoint(eager=False)
-    # oriented member expansion (a_sha = new side, b_sha = base side), each
-    # member table semi-join-pruned to shas that carry a confirmed edge —
-    # same discipline as _expand_exact_members, without its a<b reorder
-    # (orientation IS the semantics here)
-    mn = sn.select(F.col("sha256").alias("a_sha"), F.col("doc_id").alias("new_id"))
-    mn = mn.join(edges.select("a_sha").distinct(), "a_sha", "left_semi")
-    mb = sb.select(F.col("sha256").alias("b_sha"), F.col("doc_id").alias("base_id"))
-    mb = mb.join(edges.select("b_sha").distinct(), "b_sha", "left_semi")
-    near = (
-        edges.join(mn, "a_sha").join(mb, "b_sha")
-        .select("new_id", "base_id", "jaccard")
-    )
-    return exact.unionByName(near)
+    return sn, sb, edges
 
 
 def simhash_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -270,3 +270,27 @@ def test_new_pair_operators_evaluate_signature_udf_once(planted, spark):
     assert "ArrowEvalPython" not in plan_of(
         dedup_ops.minhash_lsh_pairs(langd, DedupConfig(), scope_col="lang")
     )
+
+
+def test_cross_corpus_matches_rollup_equals_grouped_pairs(spark):
+    """The linear rollup == the pair listing grouped by new_id, on a corpus
+    with an exact group spanning sides (counted via group size, not pair
+    materialization), a near match, and within-new duplicates."""
+    base_text = " ".join(f"tok{i}" for i in range(100))
+    near_text = " ".join(f"tok{i}" for i in range(99)) + " CHANGED"
+    base = _docs(spark, {2: base_text, 4: base_text, 6: near_text})
+    new = _docs(spark, {1: base_text, 3: base_text, 5: near_text})
+    cfg = DedupConfig()
+    pairs = dedup_ops.cross_corpus_pairs(new, base, cfg).toPandas()
+    grouped = {
+        nid: (len(g), round(g["jaccard"].max(), 9))
+        for nid, g in pairs.groupby("new_id")
+    }
+    rolled = {
+        r["new_id"]: (r["n_base_matches"], round(r["max_jaccard"], 9))
+        for r in dedup_ops.cross_corpus_matches(new, base, cfg).collect()
+    }
+    assert rolled == grouped
+    # every new doc matches all 3 base docs (2 exact-or-near + 1 near/exact)
+    assert {nid: c for nid, (c, _) in rolled.items()} == {1: 3, 3: 3, 5: 3}
+    assert all(mj == 1.0 for _, (c, mj) in rolled.items())
