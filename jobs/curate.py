@@ -35,7 +35,6 @@ import argparse
 import json
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -118,12 +117,9 @@ def main(argv=None) -> int:
     if args.synth is not None:
         if args.synth <= 0:
             raise SystemExit(f"--synth must be positive, got {args.synth}")
-        from replicheck_spark.corpus import write_pages_parquet
+        from replicheck_spark.corpus import synth_pages_tempdir
 
-        pages_path = tempfile.mkdtemp(prefix="pages_") + "/pages.parquet"
-        write_pages_parquet(pages_path, n_docs=args.synth, seed=args.seed)
-        print(f"[synth] wrote {args.synth}-doc planted corpus to {pages_path}")
-        args.pages = pages_path
+        args.pages = synth_pages_tempdir(args.synth, seed=args.seed)
 
     if args.pages is not None:
         from replicheck_spark.operators.extract import extract_docs
@@ -222,14 +218,13 @@ def main(argv=None) -> int:
         "ckpt": args.ckpt,
     }
     rendered = json.dumps(out, indent=2)
-    print(rendered)
-    if args.output:
-        try:
-            with open(args.output, "w") as f:
-                f.write(rendered)
-            print(f"[report] written to {args.output}")
-        except OSError as e:  # console fallback, reference save semantics
-            print(f"[report] write failed ({e}); report printed above")
+    # shared save-with-console-fallback (operators/report.py — the same
+    # helper jobs/dedup.py uses); the JSON always reaches stdout either way
+    from replicheck_spark.operators.report import write_report
+
+    if write_report(rendered, args.output):
+        print(rendered)
+        print(f"[report] written to {args.output}")
     spark.stop()
     return 0
 

@@ -17,7 +17,6 @@ import argparse
 import json
 import os
 import sys
-import tempfile
 import time
 
 # allow `python jobs/dedup.py` from a checkout (spark-submit ships the
@@ -94,11 +93,9 @@ def main(argv=None) -> int:
     if args.synth is not None:
         if args.synth <= 0:
             raise SystemExit(f"--synth must be positive, got {args.synth}")
-        from replicheck_spark.corpus import write_pages_parquet
+        from replicheck_spark.corpus import synth_pages_tempdir
 
-        pages_path = tempfile.mkdtemp(prefix="pages_") + "/pages.parquet"
-        write_pages_parquet(pages_path, n_docs=args.synth, seed=args.seed)
-        print(f"[synth] wrote {args.synth}-doc planted corpus to {pages_path}")
+        pages_path = synth_pages_tempdir(args.synth, seed=args.seed)
     else:
         pages_path = args.pages
 

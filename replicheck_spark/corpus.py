@@ -198,3 +198,15 @@ def write_pages_parquet(path: str, n_docs: int = 2000, seed: int = 42) -> Plante
     # local[8] and local[32] on a 400k-doc single-group file)
     pq.write_table(table, path, row_group_size=10_000)
     return truth
+
+
+def synth_pages_tempdir(n_docs: int, seed: int = 42) -> str:
+    """Synthesize a planted pages corpus into a fresh temp dir and return
+    the parquet path — the shared ``--synth`` implementation of the job
+    CLIs (jobs/dedup.py, jobs/curate.py)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="pages_") + "/pages.parquet"
+    write_pages_parquet(path, n_docs=n_docs, seed=seed)
+    print(f"[synth] wrote {n_docs}-doc planted corpus to {path}")
+    return path

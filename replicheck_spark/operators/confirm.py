@@ -40,6 +40,7 @@ def confirm_pairs(
     cand: DataFrame,
     signatures: DataFrame,
     cfg: DedupConfig,
+    signatures_b: DataFrame | None = None,
 ) -> DataFrame:
     """-> edges(a, b, a_url, b_url, a_sha, b_sha, jaccard, hamming,
     kind='near').
@@ -48,10 +49,29 @@ def confirm_pairs(
     (identical sha256 — those carry kind='exact' from the exact stage).
     a_sha/b_sha ride along so callers can expand representative-level edges
     back to every member of each exact-duplicate text group.
+
+    ``signatures_b``: for TWO-CORPUS candidates (cross_corpus_*), the b side
+    resolves against its own signature table, each side pruned to its own
+    candidate ids. Required whenever the two corpora's doc_id spaces may
+    overlap (doc_id = xxhash64(url), so a re-crawled url carries the SAME id
+    in both corpora): resolving both sides through one unioned frame would
+    match an overlapping id against both corpora's signatures and emit
+    duplicate/crossed edges.
     """
-    pruned = signatures.select(
-        "doc_id", "url", "sha256", "shingles", "simhash"
-    ).join(_pair_ids(cand), "doc_id", "left_semi")
+    if signatures_b is not None:
+        pruned_a = signatures.select(
+            "doc_id", "url", "sha256", "shingles", "simhash"
+        ).join(cand.select(F.col("a").alias("doc_id")).distinct(),
+               "doc_id", "left_semi")
+        pruned_b = signatures_b.select(
+            "doc_id", "url", "sha256", "shingles", "simhash"
+        ).join(cand.select(F.col("b").alias("doc_id")).distinct(),
+               "doc_id", "left_semi")
+    else:
+        pruned_a = pruned_b = signatures.select(
+            "doc_id", "url", "sha256", "shingles", "simhash"
+        ).join(_pair_ids(cand), "doc_id", "left_semi")
+    pruned = pruned_a
     a_side = pruned.select(
         F.col("doc_id").alias("a"),
         F.col("url").alias("a_url"),
@@ -59,7 +79,7 @@ def confirm_pairs(
         F.col("shingles").alias("a_sh"),
         F.col("simhash").alias("a_sim"),
     )
-    b_side = pruned.select(
+    b_side = pruned_b.select(
         F.col("doc_id").alias("b"),
         F.col("url").alias("b_url"),
         F.col("sha256").alias("b_sha"),

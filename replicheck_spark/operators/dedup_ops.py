@@ -264,7 +264,9 @@ def minhash_lsh_pairs(
     barrier job whose driver round-trip is pure serial floor.
 
     ``scope_col`` (e.g. "lang") restricts pairing to docs sharing that
-    column's value — the standard 10^12-doc move (cross-language near-dup
+    column's NON-NULL value (NULL never matches anything — SQL equality
+    semantics, mirrored by the oracle) — the standard 10^12-doc move
+    (cross-language near-dup
     pairs are meaningless work; scoping shrinks every band bucket). One
     pass, zero new machinery: the scope is folded into BOTH identity keys —
     ``sha256 -> scope#sha256`` (rep suppression, sha exclusion, and member
@@ -286,7 +288,13 @@ def minhash_lsh_pairs(
             _sig_col(cfg).alias("sig"),
         )
     else:
-        raw = docs.select(
+        # NULL-scope docs pair with NOTHING — SQL equality semantics (the
+        # oracle's x.lang = y.lang never matches NULLs), so they are
+        # excluded up front. Without the filter, concat_ws skips a NULL
+        # segment and xxhash64 ignores a NULL argument, silently merging
+        # every NULL-scope doc into one shared scope (review r6 finding —
+        # common on web crawls before lang-ID has run).
+        raw = docs.filter(F.col(scope_col).isNotNull()).select(
             F.col("doc_id"),
             F.col("doc_id").cast("string").alias("url"),
             F.col(scope_col).alias("_scope"),
@@ -701,7 +709,11 @@ def _cross_corpus_edges(
         .select("a", F.explode("ids").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    edges = confirm_pairs(cands, sn.unionByName(sb), t).select(
+    # two-sided confirm: the corpora's doc_id spaces may OVERLAP (doc_id =
+    # xxhash64(url); a re-crawled url has the same id on both sides), so
+    # each candidate side must resolve against its OWN signature table — a
+    # unioned lookup would cross-match overlapping ids (review r6 finding).
+    edges = confirm_pairs(cands, sn, t, signatures_b=sb).select(
         "a_sha", "b_sha", "jaccard"
     ).localCheckpoint(eager=False)
     return sn, sb, edges

@@ -294,3 +294,42 @@ def test_cross_corpus_matches_rollup_equals_grouped_pairs(spark):
     # every new doc matches all 3 base docs (2 exact-or-near + 1 near/exact)
     assert {nid: c for nid, (c, _) in rolled.items()} == {1: 3, 3: 3, 5: 3}
     assert all(mj == 1.0 for _, (c, mj) in rolled.items())
+
+
+def test_cross_corpus_pairs_with_overlapping_doc_ids(spark):
+    """doc_id = xxhash64(url), so a re-crawled url carries the SAME id in
+    both corpora — the confirm must resolve each candidate side against its
+    OWN signature table (review r6: a unioned lookup emitted duplicate and
+    crossed edges for overlapping ids)."""
+    t = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99)) + " CHANGED"
+    new = _docs(spark, {7: t})
+    base = _docs(spark, {7: t, 8: near})
+    got = sorted(
+        (r["new_id"], r["base_id"], round(r["jaccard"], 6))
+        for r in dedup_ops.cross_corpus_pairs(new, base, DedupConfig()).collect()
+    )
+    assert got == [(7, 7, 1.0), (7, 8, got[1][2])] and got[1][2] >= 0.8
+    rolled = dedup_ops.cross_corpus_matches(new, base, DedupConfig()).collect()
+    assert len(rolled) == 1
+    assert rolled[0]["n_base_matches"] == 2  # two DISTINCT base docs
+    assert rolled[0]["max_jaccard"] == 1.0
+
+
+def test_minhash_scope_col_null_scope_pairs_with_nothing(spark):
+    """SQL equality semantics (the oracle's x.lang = y.lang): NULL-scope
+    docs never pair — they must not silently merge into one shared scope
+    through concat_ws/xxhash64 NULL handling (review r6)."""
+    t = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99)) + " CHANGED"
+    docs = spark.createDataFrame(
+        [(1, t, None), (2, near, None), (3, t, "en"), (4, near, "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in dedup_ops.minhash_lsh_pairs(
+            docs, DedupConfig(), scope_col="lang"
+        ).collect()
+    }
+    assert got == {(3, 4)}  # the NULL-lang near pair (1, 2) is NOT emitted
