@@ -58,7 +58,10 @@ def explode_blocks(docs: DataFrame, block_tokens: int = 100) -> DataFrame:
     """docs(doc_id, text) -> units(doc_id, block_idx, unit_id, block_text,
     n_block_tokens): non-overlapping ``block_tokens``-token windows, partial
     tail window included. unit_id = xxhash64("<doc_id>#<block_idx>")."""
-    toks = F.split(F.col("text"), " ")
+    # token array projected once per row (interpreted lambdas would
+    # otherwise re-split the text per window — see dedup_ops._shingles_df)
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("_t"))
+    toks = F.col("_t")
     n_blocks = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
     idx = F.sequence(F.lit(0), F.greatest(n_blocks - 1, F.lit(0)))
     blocks = F.transform(
@@ -68,7 +71,7 @@ def explode_blocks(docs: DataFrame, block_tokens: int = 100) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", F.posexplode(blocks).alias("block_idx", "block_text"))
+        toked.select("doc_id", F.posexplode(blocks).alias("block_idx", "block_text"))
         .withColumn(
             "unit_id",
             F.xxhash64(F.concat_ws("#", F.col("doc_id"), F.col("block_idx"))),

@@ -90,15 +90,24 @@ def _shingles_df(docs: DataFrame, k: int) -> DataFrame:
     join). Distinct-hash counts stand in for distinct-shingle counts — a
     within-doc collision (p ~ 2^-64 per shingle pair, ~1e-8 corpus-wide at
     sandbox scale, same accepted odds as doc_id = xxhash64(url)) would
-    perturb one count by 1."""
-    toks = F.split(F.col("text"), " ")
+    perturb one count by 1.
+
+    The token array is projected ONCE per row before the gram lambda:
+    higher-order-function lambdas are interpreted (no codegen CSE inside),
+    so an inlined split(text) would re-tokenize the document at every
+    shingle position — O(tokens^2) per doc (the round-6 scale-smoke
+    pathology first caught in repetition_stats; same fix everywhere).
+    CollapseProject cannot re-inline it: the alias is non-cheap and
+    referenced more than once."""
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    t = F.col("t")
     sh = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, k))),
         )
     )
-    with_sh = docs.select("doc_id", sh.alias("shingles")).withColumn(
+    with_sh = toked.select("doc_id", sh.alias("shingles")).withColumn(
         "n_shingles", F.size("shingles")
     )
     return with_sh.select(
@@ -497,28 +506,36 @@ def decontaminate(train: DataFrame, bench: DataFrame, n: int = 13) -> DataFrame:
     byte-equal to a short bench doc got flagged via a sub-n overlap and its
     n_grams misreported as 1 (ADVICE r5 #2; the oracle mirrors the guard).
     """
-    def grams():
-        toks = F.split(F.col("text"), " ")
+    def with_grams(df: DataFrame) -> DataFrame:
+        # token array projected once per row (interpreted lambdas would
+        # otherwise re-split the text per gram position — O(tokens^2)/doc,
+        # see _shingles_df)
+        t = F.col("_t")
         full = F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, n))),
             )
         )
-        return F.when(F.size(toks) >= n, full).otherwise(
+        gs = F.when(F.size(t) >= n, full).otherwise(
             F.expr("array()").cast("array<bigint>")
         )
+        return df.select(
+            "doc_id", F.split(F.col("text"), " ").alias("_t")
+        ).select("doc_id", gs.alias("gs"))
 
-    bench_grams = bench.select(F.explode(grams()).alias("gh")).distinct()
-    # grams() is already distinct-per-doc, so a plain count after the
+    bench_grams = with_grams(bench).select(
+        F.explode("gs").alias("gh")
+    ).distinct()
+    # gs is already distinct-per-doc, so a plain count after the
     # membership join is the distinct contaminated-gram count.
     hits = (
-        train.select("doc_id", F.explode(grams()).alias("gh"))
+        with_grams(train).select("doc_id", F.explode("gs").alias("gh"))
         .join(F.broadcast(bench_grams), "gh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_contaminated"))
     )
-    base = train.select("doc_id", F.size(grams()).alias("n_grams"))
+    base = with_grams(train).select("doc_id", F.size("gs").alias("n_grams"))
     return base.join(hits, "doc_id", "left").select(
         "doc_id",
         "n_grams",

@@ -251,12 +251,107 @@ def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def _repetition_stats_arrow(
+    docs: DataFrame, top2gram_max: float, dup5gram_char_max: float,
+    dup_line_max: float, dup_line_char_max: float,
+) -> DataFrame:
+    """Arrow-batched per-doc implementation of repetition_stats — see its
+    docstring for the measured reversal rationale. Counting runs in plain-C
+    Python (Counter over gram strings); the semantics mirror the expression
+    path token for token: single-space split keeps empty tokens, lines are
+    trimmed of SPACES ONLY (``strip(" ")`` — Python's bare strip would also
+    eat \\r/\\t, diverging from F.trim and the DuckDB oracle), gram char
+    length is the joined-string length (token chars + single separators),
+    and the most-frequent-bigram tie-break is (count, char mass), exactly
+    the lexicographic struct max of the expr/oracle sides."""
+    import pandas as pd
+    from collections import Counter
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("top2gram_char_frac", T.DoubleType()),
+        T.StructField("dup5gram_frac", T.DoubleType()),
+        T.StructField("dup5gram_char_frac", T.DoubleType()),
+        T.StructField("dup_line_frac", T.DoubleType()),
+        T.StructField("dup_line_char_frac", T.DoubleType()),
+        T.StructField("flagged", T.BooleanType()),
+    ])
+
+    def one(text: str):
+        # grams are counted as TOKEN TUPLES (n pointer hashes per gram, no
+        # string building); char mass = token chars + single separators ==
+        # len(" ".join(gram)), computed once per DISTINCT gram — identical
+        # values to the string form, measured ~3x faster
+        toks = text.split(" ")
+        top2 = 0.0
+        if len(toks) >= 2:
+            c2 = Counter(zip(toks, toks[1:]))
+            items2 = [
+                (cnt, cnt * (len(g[0]) + len(g[1]) + 1))
+                for g, cnt in c2.items()
+            ]
+            chars2 = sum(cm for _, cm in items2)
+            if chars2 > 0:
+                top2 = max(items2)[1] / chars2
+        d5 = d5c = 0.0
+        if len(toks) >= 5:
+            c5 = Counter(
+                zip(toks, toks[1:], toks[2:], toks[3:], toks[4:])
+            )
+            total = len(toks) - 4
+            dup = dup_chars = chars5 = 0
+            for g, cnt in c5.items():
+                gl = len(g[0]) + len(g[1]) + len(g[2]) + len(g[3]) \
+                    + len(g[4]) + 4
+                chars5 += cnt * gl
+                if cnt > 1:
+                    dup += cnt - 1
+                    dup_chars += (cnt - 1) * gl
+            if total > 0:
+                d5 = dup / total
+            if chars5 > 0:
+                d5c = dup_chars / chars5
+        dl = dlc = 0.0
+        lines = [s for s in (l.strip(" ") for l in text.split("\n")) if s]
+        if lines:
+            cl = Counter(lines)
+            total = len(lines)
+            charsl = sum(cnt * len(g) for g, cnt in cl.items())
+            dl = sum(cnt - 1 for cnt in cl.values() if cnt > 1) / total
+            if charsl > 0:
+                dlc = sum(
+                    (cnt - 1) * len(g) for g, cnt in cl.items() if cnt > 1
+                ) / charsl
+        flagged = (
+            top2 > top2gram_max or d5c > dup5gram_char_max
+            or dl > dup_line_max or dlc > dup_line_char_max
+        )
+        return top2, d5, d5c, dl, dlc, flagged
+
+    def batch(it):
+        for pdf in it:
+            vals = [one(t) for t in pdf["text"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "top2gram_char_frac": [v[0] for v in vals],
+                "dup5gram_frac": [v[1] for v in vals],
+                "dup5gram_char_frac": [v[2] for v in vals],
+                "dup_line_frac": [v[3] for v in vals],
+                "dup_line_char_frac": [v[4] for v in vals],
+                "flagged": [v[5] for v in vals],
+            })
+
+    return docs.select("doc_id", "text").mapInPandas(batch, schema=schema)
+
+
 def repetition_stats(
     docs: DataFrame,
     top2gram_max: float = 0.20,
     dup5gram_char_max: float = 0.15,
     dup_line_max: float = 0.30,
     dup_line_char_max: float = 0.20,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Gopher-style repetition quality metrics (Rae et al. 2021, appendix A1.1
     — the public webtext repetition filters). Per doc:
@@ -282,30 +377,49 @@ def repetition_stats(
                           (defaults are the published ones: 0.20 / 0.15 /
                           0.30 / 0.20)
 
-    Scale design: grams are never materialized as strings on the Spark side —
-    each n-gram is keyed by ``xxhash64`` of the token-array slice, so the
-    (doc_id, kind, gram) shuffle carries 8-byte keys instead of ~10-60-byte
-    strings, and partial aggregation combines repeats map-side. Character
-    lengths are computed with a JVM ``aggregate`` over the same slice (token
-    chars + n-1 separators), matching what ``length(gram_string)`` would give.
-    A 64-bit collision within one (doc, kind) merges two distinct grams'
-    counts; at 10^4 grams/doc that is ~1e-12 per doc — negligible even at
-    10^12 docs, and only perturbs a fraction, never drops a row. Everything is
-    codegen'd JVM expressions; one scan, one shuffle pair (gram agg + per-doc
-    agg), no UDF.
+    Scale design — a MEASURED REVERSAL (round 6): every metric is a pure
+    per-document function, so the default ``impl="arrow"`` computes all six
+    columns inside one Arrow-batched ``mapInPandas`` pass — ONE corpus scan,
+    ZERO shuffles, plain-C Python counting. The previous expression
+    implementation (kept as ``impl="expr"``, value-parity gated in
+    tests/test_stages.py) looked like the "fast JVM path" but is not:
+    Catalyst evaluates higher-order-function lambdas INTERPRETED — no
+    whole-stage codegen, boxed per-element allocation — and jstack on a
+    1.6M-doc run of ~300-token pages showed executors pinned inside
+    Slice/HashExpression/CreateNamedStruct at ~100us per gram: ~75 minutes
+    for the gram stage alone, vs seconds for the Arrow pass over the same
+    input. The per-doc results are bit-identical either way (integer counts;
+    the fractions are the same IEEE double divisions), so the DuckDB oracle
+    is shared. The expr path's two shuffles (gram agg + per-doc agg) also
+    simply disappear.
     """
+    if impl == "arrow":
+        return _repetition_stats_arrow(
+            docs, top2gram_max, dup5gram_char_max, dup_line_max,
+            dup_line_char_max,
+        )
+    if impl != "expr":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     # kinded (doc_id, kind, gh, glen) rows; gh = xxhash64 gram key.
+    # The token array is projected ONCE per row and the gram lambdas
+    # reference the attribute: higher-order-function lambdas are interpreted
+    # (no whole-stage codegen, no common-subexpression elimination inside),
+    # so an inlined split(text) re-tokenized the document for EVERY gram
+    # position — O(tokens^2) per doc, measured ~40 min for this stage alone
+    # on a 1.6M-doc corpus of ~300-token pages vs ~1 min with the
+    # pre-projected array (round-6 scale smoke; values bit-identical).
     def _gram_rows(n: int, kind: str) -> DataFrame:
+        toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
         entry = F.expr(
-            f"transform(sequence(0, size(split(text, ' ')) - {n}), i -> "
-            f"struct(xxhash64(slice(split(text, ' '), i + 1, {n})) AS gh, "
-            f"aggregate(slice(split(text, ' '), i + 1, {n}), 0, "
+            f"transform(sequence(0, size(t) - {n}), i -> "
+            f"struct(xxhash64(slice(t, i + 1, {n})) AS gh, "
+            f"aggregate(slice(t, i + 1, {n}), 0, "
             f"(a, x) -> a + length(x)) + {n - 1} AS glen))"
         )
-        guarded = F.when(F.size(tokens_col()) >= n, entry).otherwise(
+        guarded = F.when(F.size(F.col("t")) >= n, entry).otherwise(
             F.expr("array()").cast("array<struct<gh:bigint,glen:int>>")
         )
-        return docs.select(
+        return toked.select(
             "doc_id", F.lit(kind).alias("kind"), F.explode(guarded).alias("g")
         ).select("doc_id", "kind", F.col("g.gh").alias("gh"), F.col("g.glen").alias("glen"))
 

@@ -333,3 +333,19 @@ def test_minhash_scope_col_null_scope_pairs_with_nothing(spark):
         ).collect()
     }
     assert got == {(3, 4)}  # the NULL-lang near pair (1, 2) is NOT emitted
+
+
+def test_cross_corpus_empty_and_no_match_edges(spark):
+    """Degenerate inputs: an empty base produces empty outputs with the
+    right schemas; disjoint corpora produce no rows."""
+    t = " ".join(f"tok{i}" for i in range(100))
+    new = _docs(spark, {1: t})
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    cfg = DedupConfig()
+    assert dedup_ops.cross_corpus_pairs(new, empty, cfg).count() == 0
+    assert dedup_ops.cross_corpus_matches(new, empty, cfg).count() == 0
+    other = _docs(spark, {9: " ".join(f"zzz{i}" for i in range(100))})
+    assert dedup_ops.cross_corpus_pairs(new, other, cfg).count() == 0
+    assert dedup_ops.cross_corpus_matches(new, other, cfg).columns == [
+        "new_id", "n_base_matches", "max_jaccard"
+    ]

@@ -446,14 +446,34 @@ class TestRepetitionStats:
         assert abs(out[5]["top2gram_char_frac"] - 0.5) < 1e-12
         assert out[5]["dup5gram_frac"] == 0.0
 
-    def test_no_python_udf_in_plan(self, spark):
-        """The whole operator is JVM expressions — no Arrow/Python eval node
-        may appear in the physical plan."""
+    def test_expr_impl_udf_free_and_arrow_parity(self, spark):
+        """Round-6 measured reversal: the default impl is the Arrow-batched
+        per-doc pass (Catalyst higher-order lambdas are INTERPRETED — the
+        'UDF-free' expression path pinned executors at ~100us/gram on
+        300-token docs, ~75 min for 1.6M docs vs seconds via Arrow). The
+        expression path is kept behind impl='expr': it must stay UDF-free
+        (its reason to exist) and BIT-IDENTICAL to the Arrow default on docs
+        covering every metric, the tie-breaks, and the degenerate cases."""
         from replicheck_spark.operators.textops import repetition_stats
 
         docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
-        plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+        plan = repetition_stats(docs, impl="expr")._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+        rows = [
+            (1, "a b a b a b c d"),
+            (2, "x\n y \n\nx\nz z z z z z z z z z"),
+            (3, ""),
+            (4, "one two three four five one two three four five one two three four five"),
+            (5, "u v w"),
+            (6, "aaaa b aaaa b c"),
+            (7, "HEADER\r\nHEADER\r\nbody"),   # \r is NOT trimmed (spaces only)
+            (8, "repeat me\nrepeat me\n  repeat me  "),  # pad-trim matching
+        ]
+        big = spark.createDataFrame(rows, "doc_id long, text string")
+        arrow = sorted(map(tuple, repetition_stats(big).collect()))
+        expr = sorted(map(tuple, repetition_stats(big, impl="expr").collect()))
+        assert arrow == expr
 
 
 class TestPiiScrub:
