@@ -282,7 +282,10 @@ def _repetition_stats_arrow(
         # grams are counted as TOKEN TUPLES (n pointer hashes per gram, no
         # string building); char mass = token chars + single separators ==
         # len(" ".join(gram)), computed once per DISTINCT gram — identical
-        # values to the string form, measured ~3x faster
+        # values to the string form, measured ~3x faster. NULL text behaves
+        # like the expression path (split(NULL) -> no gram rows -> all-zero
+        # fractions, unflagged) instead of crashing the batch.
+        text = text or ""
         toks = text.split(" ")
         top2 = 0.0
         if len(toks) >= 2:
