@@ -67,6 +67,49 @@ def _warmup(spark) -> None:
     ).collect()
 
 
+# Clean-window anchor for the calibration kernel below: measured round 7 on
+# an idle window as the center of 3 fresh-JVM (warmup + min-of-2) runs at
+# local[32]: [0.910, 0.987, 0.982]. host_factor = calib_sec / this — 1.0
+# means the run saw the anchor window's machine, >1 a co-tenant-degraded
+# window; divide a wall by its run's host_factor to compare across windows
+# (VERDICT r6 #2: min-of-3 alone cannot defeat a sustained slow window).
+# Only comparable at equal core counts (the driver always runs 32).
+_CALIB_REF_SEC = 0.95
+# Separate anchor for the WARM main session (the per-query sweep runs 17
+# queries x 3 before its calibration, so the JVM is far past the fresh-JVM
+# state the children see): min of 5 back-to-back in-session runs on the same
+# round-7 idle window was 0.676 — using the fresh anchor there would read a
+# clean window as 0.72 and mask a 1.3x-degraded one as 1.0.
+_CALIB_REF_WARM_SEC = 0.68
+
+
+def _calibrate(spark) -> float:
+    """Fixed pure-JVM calibration kernel (VERDICT r6 #2): rows -> one hash
+    exchange on a high-card key -> agg, constant size, no replicheck code and
+    no Python workers — its wall is a property of the host window (CPU steal,
+    memory bandwidth, GC), not of the engine. Timed inside EVERY bench child
+    so each pipeline wall carries its own denominator; min-of-2 to shed the
+    one-time codegen compile. ~2s on the anchor window."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.monotonic()
+        (
+            spark.range(8_000_000, numPartitions=64)
+            .select(
+                (F.col("id") % 500_000).alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+            )
+            .groupBy("k")
+            .agg(F.count("*").alias("n"), F.max("payload").alias("m"))
+            .select(F.sum("n"))
+            .collect()
+        )
+        return time.monotonic() - t0
+
+    return round(min(once(), once()), 3)
+
+
 def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
     """Headline queries: the dedup/text/similarity core, timed via count()."""
     import __spark_entry__ as entry_mod
@@ -167,6 +210,10 @@ def main_default(args) -> None:
         shuffle_partitions=int(cpus) * 2,
     )
     queries, queries_cold = _bench_queries(spark, sf_dir)
+    # window denominator for the per-query section (VERDICT r6 #2): the
+    # kernel is timed AFTER the query sweep, in the same session, so it
+    # samples the same co-tenant window the walls above were measured in
+    calib_queries = _calibrate(spark)
     spark.stop()
 
     # Flagship pipeline on a synthesized corpus sized to the SF point.
@@ -182,16 +229,32 @@ def main_default(args) -> None:
 
     tmp = _mkworkdir("bench_")
     pipe_walls: list[float] = []
+    pipe_calibs: list[float] = []
     n = n_docs
     try:
         pages_path = os.path.join(tmp, "pages.parquet")
         write_pages_parquet(pages_path, n_docs=n_docs, seed=42)
-        for i in range(3):
+
+        def one_child(i: int) -> None:
+            nonlocal n
             parsed = _run_single_child(
                 cpus, pages_path, os.path.join(tmp, f"pipe{i}")
             )
             pipe_walls.append(parsed["wall_sec"])
+            pipe_calibs.append(parsed.get("calib_sec", -1.0))
             n = parsed["docs"]
+
+        for i in range(3):
+            one_child(i)
+        # VERDICT r6 #2: a sustained slow window can defeat min-of-3 (r6's
+        # driver triple spread 58-115s). When the triple's spread exceeds
+        # 1.5x, buy up to 2 extra runs — the later ones may land in a
+        # cleaner window; the per-run calib_sec records which window each
+        # wall saw either way.
+        extra = 0
+        while max(pipe_walls) / min(pipe_walls) > 1.5 and extra < 2:
+            extra += 1
+            one_child(2 + extra)
     finally:
         # a failed child must not leak the corpus + checkpoint trees on
         # RAM-backed tmpfs — that would worsen the memory pressure that
@@ -199,8 +262,13 @@ def main_default(args) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
     wall = min(pipe_walls)
     queries["dedup_pipeline"] = round(wall, 3)
-    queries_cold["dedup_pipeline"] = round(pipe_walls[0], 3)
 
+    host_factors = [round(c / _CALIB_REF_SEC, 3) for c in pipe_calibs]
+    # each wall divided by ITS OWN run's window denominator — the
+    # cross-window-comparable pipeline stat
+    norm_walls = [
+        round(w / hf, 3) for w, hf in zip(pipe_walls, host_factors) if hf > 0
+    ]
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -210,12 +278,31 @@ def main_default(args) -> None:
                 "unit": "sec",
                 "queries": queries,
                 "queries_cold_first_run": queries_cold,
-                "agg": "min_of_3_runs_per_query; dedup_pipeline min of 3 "
-                       "fresh-JVM subprocess runs",
+                "agg": "min_of_3_runs_per_query (cold_first_run covers these "
+                       "17 only); dedup_pipeline min of >=3 fresh-JVM "
+                       "subprocess runs, each child warmed before timing "
+                       "(no cold pipeline wall is recorded); extra runs "
+                       "bought when wall spread > 1.5x",
                 "sf": sf,
                 "pipeline_docs": n,
                 "pipeline_walls_all": pipe_walls,
+                "pipeline_first_run": pipe_walls[0],
                 "pipeline_docs_per_sec": round(n / wall, 1),
+                # window normalization (VERDICT r6 #2): host_factor 1.0 =
+                # the round-7 clean-window anchor; divide a wall by its
+                # run's factor to compare across co-tenant windows
+                "calib_ref_sec": _CALIB_REF_SEC,
+                "calib_ref_warm_sec": _CALIB_REF_WARM_SEC,
+                "calib_sec_queries": calib_queries,
+                "host_factor_queries": round(
+                    calib_queries / _CALIB_REF_WARM_SEC, 3
+                ),
+                "pipeline_calib_all": pipe_calibs,
+                "pipeline_host_factors": host_factors,
+                "pipeline_walls_normalized": norm_walls,
+                "pipeline_wall_normalized_min": (
+                    min(norm_walls) if norm_walls else None
+                ),
                 "cpus": int(cpus),
             }
         )
@@ -238,11 +325,16 @@ def main_single(args) -> None:
     # subprocess absorbs ~6-10s of codegen + worker forks at 32 cores,
     # which is pure constant offset at any real corpus size)
     _warmup(spark)
+    calib = _calibrate(spark)
     wall, n = _bench_pipeline(
         spark, args.pages, os.path.join(args.workdir, f"ckpt{args.cores}"),
         f"s{args.cores}",
     )
-    print(json.dumps({"cores": args.cores, "wall_sec": round(wall, 2), "docs": n}))
+    print(json.dumps({
+        "cores": args.cores, "wall_sec": round(wall, 2), "docs": n,
+        "calib_sec": calib,
+        "host_factor": round(calib / _CALIB_REF_SEC, 3),
+    }))
     spark.stop()
 
 
@@ -266,10 +358,11 @@ def main_scaling(args) -> None:
         write_pages_parquet(pages_path + ".tmp", n_docs=n_docs, seed=42)
         os.rename(pages_path + ".tmp", pages_path)
 
-    def measure(cores: int, tag: str) -> float:
-        return _run_single_child(
+    def measure(cores: int, tag: str) -> tuple[float, float]:
+        r = _run_single_child(
             cores, pages_path, os.path.join(tmp, tag), shuffle=args.shuffle
-        )["wall_sec"]
+        )
+        return r["wall_sec"], r.get("host_factor", -1.0)
 
     # The sandbox host has noisy neighbors (identical runs measured 3x
     # apart); interleave repeats and keep the BEST wall per level — min over
@@ -283,10 +376,11 @@ def main_scaling(args) -> None:
                   else [args.n_high, args.n_low])
     ]
     for i, cores in enumerate(order):
-        w = measure(cores, f"r{i}c{cores}")
+        w, hf = measure(cores, f"r{i}c{cores}")
         walls[cores].append(w)
         print(f"[scaling] local[{cores}] rep{len(walls[cores])}: {w:.1f}s  "
-              f"{n_docs / w:.1f} docs/sec")
+              f"{n_docs / w:.1f} docs/sec  host_factor={hf:.2f} "
+              f"(calib kernel at local[{cores}]; anchor is local[32])")
 
     results = {}
     for cores, ws in walls.items():

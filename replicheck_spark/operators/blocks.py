@@ -144,9 +144,12 @@ def boilerplate_strip(
     both frames are data-dependent: at ``min_docs=2`` on a web corpus the
     key set is the entire duplicated-block head (billions of 32-byte shas),
     and a hard broadcast hint would force a driver OOM instead of a shuffle.
-    Each hint is therefore size-gated by one cheap metadata count on the
-    lazily-checkpointed frame (``_gated_hint``): under ``broadcast_bytes_
-    limit`` it broadcasts exactly as before; above it the hint is dropped
+    Each hint is therefore size-gated by one deciding count JOB on the
+    lazily-checkpointed frame (``_gated_hint`` — a real aggregation job that
+    makes this operator eager at construction, not a metadata read; the
+    count also materializes the checkpoint every downstream consumer then
+    reuses): under ``broadcast_bytes_limit`` it broadcasts exactly as
+    before; above it the hint is dropped
     (shuffle join, AQE re-plans, fallback logged — metered, never silent).
     Only affected docs pay the groupBy rebuild either way, and only their
     blocks are re-shuffled.

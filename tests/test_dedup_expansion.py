@@ -174,6 +174,34 @@ def test_decontaminate_sub_n_docs_have_zero_grams(spark):
     assert out[2]["n_contaminated"] == 1 and out[2]["contaminated"]
 
 
+def test_decontaminate_shuffle_branch_parity(spark):
+    """The bench-gram broadcast hint is size-gated (VERDICT r6 #1: a hard
+    hint on the data-dependent distinct-gram frame is a driver OOM on a
+    realistic eval-suite union — 10^8-10^9 gram hashes).
+    broadcast_bytes_limit=0 forces the shuffle-join branch; its output must
+    be row-identical to the broadcast branch."""
+    long_a = " ".join(f"w{i}" for i in range(20))
+    clean = " ".join(f"z{i}" for i in range(20))
+    train = _docs(spark, {1: long_a, 2: clean, 3: "a b c"})
+    bench = _docs(spark, {100: " ".join(f"w{i}" for i in range(8))})
+    bc = sorted(
+        map(tuple, dedup_ops.decontaminate(train, bench, n=8).collect())
+    )
+    sh = sorted(
+        map(
+            tuple,
+            dedup_ops.decontaminate(
+                train, bench, n=8, broadcast_bytes_limit=0
+            ).collect(),
+        )
+    )
+    assert sh == bc
+    by_id = {t[0]: t for t in bc}
+    assert by_id[1][2] == 1 and by_id[1][3]  # contaminated via bench 100
+    assert by_id[2][2] == 0 and not by_id[2][3]
+    assert by_id[3][1] == 0  # sub-n doc: zero grams either branch
+
+
 def test_near_dedup_survivors_keeps_canonical_and_singletons(spark):
     base = " ".join(f"tok{i}" for i in range(100))
     near = " ".join(f"tok{i}" for i in range(99)) + " CHANGED"
