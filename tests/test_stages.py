@@ -474,6 +474,14 @@ class TestRepetitionStats:
         arrow = sorted(map(tuple, repetition_stats(big).collect()))
         expr = sorted(map(tuple, repetition_stats(big, impl="expr").collect()))
         assert arrow == expr
+        # round-7 vectorization A/B: the batch-wide numpy kernel LOST the
+        # measurement (Counter loop ~2x faster per batch) and is kept as
+        # the committed loser — it must stay bit-identical to the default
+        # (same discipline as impl='expr'; BENCH/BASELINE.md round 7)
+        numpy_k = sorted(
+            map(tuple, repetition_stats(big, impl="arrow_numpy").collect())
+        )
+        assert arrow == numpy_k
 
 
 class TestPiiScrub:
