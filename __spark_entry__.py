@@ -250,6 +250,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return feats.select("media_id", "kind", "n_bytes", "sha256")
 
+    def q_media_exact_dups(spark, sf):
+        # thumbnail payloads (40-char prefix) so byte-identical groups exist
+        # in the fixture corpus — see media_from_documents
+        return multimodal.media_exact_dups(
+            multimodal.media_from_documents(docs(spark, sf), prefix_chars=40)
+        )
+
     def q_events_running(spark, sf):
         ev = _t(spark, sf, "events")
         w = (
@@ -349,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_stats": q_media_stats,
+        "media_exact_dups": q_media_exact_dups,
         "media_features": q_media_features,
         "events_running": q_events_running,
         "event_type_summary": q_event_type_summary,
@@ -939,6 +947,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings x, embeddings y
             WHERE x.vec_id < y.vec_id
               AND list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+        """,
+        "media_exact_dups": """
+            -- exact media dedup over the thumbnail-payload media table
+            -- (payload = utf8 bytes of the first 40 chars; mirrored in
+            -- multimodal.media_from_documents(prefix_chars=40))
+            SELECT sha256(substr(text, 1, 40)) AS media_sha,
+                   count(*) AS n_items,
+                   count(DISTINCT source) AS n_sources,
+                   count(DISTINCT source) >= 2 AS cross_source
+            FROM documents
+            GROUP BY 1
+            HAVING count(*) >= 2
         """,
         "media_stats": f"""
             SELECT {kind_case} AS kind,

@@ -127,18 +127,30 @@ def _entropy(payload: bytes) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
-def media_from_documents(docs: DataFrame) -> DataFrame:
+def media_from_documents(
+    docs: DataFrame, prefix_chars: int | None = None
+) -> DataFrame:
     """Deterministic fake media table derived from documents (no external
-    data): payload = utf-8 bytes of text, kind round-robins by doc_id."""
+    data): payload = utf-8 bytes of text, kind round-robins by doc_id.
+
+    ``prefix_chars`` truncates the payload to the first N characters — the
+    deterministic 'thumbnail decode' stand-in that makes byte-identical
+    payloads EXIST in the fixture corpus (full texts are near-unique at
+    every SF; 40-char prefixes collide ~23 times at sf0.01), so the exact
+    media dedup face has real duplicate groups to find and the DuckDB
+    oracle real rows to check."""
     kind = (
         F.when(F.pmod("doc_id", F.lit(3)) == 0, "image")
         .when(F.pmod("doc_id", F.lit(3)) == 1, "audio")
         .otherwise("video")
     )
+    payload_src = (
+        F.substring("text", 1, prefix_chars) if prefix_chars else F.col("text")
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
+        F.encode(payload_src, "utf-8").alias("payload"),
         F.create_map(
             F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
         ).alias("meta"),
@@ -181,4 +193,168 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.sum(F.length("payload")).alias("total_bytes"),
         F.min(F.length("payload")).alias("min_bytes"),
         F.max(F.length("payload")).alias("max_bytes"),
+    )
+
+
+def media_exact_dups(media: DataFrame, min_items: int = 2) -> DataFrame:
+    """EXACT media dedup — the most common multimodal curation query ("which
+    images are byte-identical?"): one row per payload-identical group
+    appearing >= ``min_items`` times, (media_sha, n_items, n_sources,
+    cross_source). cross_source marks groups spanning >= 2 distinct
+    ``meta['source']`` values — the re-hosted-asset signal.
+
+    Scale design: identical to the document exact stage (dedup_ops
+    exact_dup_groups) applied to the binary column — one hash agg with
+    map-side combine, shuffling only (sha, partial counts); the payload
+    bytes never leave the scan stage because sha2 reduces them in the map
+    task. SQL-expressible (DuckDB sha256 group) and driver-checked on the
+    thumbnail-payload media table (media_from_documents(prefix_chars=40)).
+    """
+    return (
+        media.groupBy(F.sha2("payload", 256).alias("media_sha"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct(F.col("meta").getItem("source")).alias(
+                "n_sources"
+            ),
+        )
+        .withColumn("cross_source", F.col("n_sources") >= 2)
+        .filter(F.col("n_items") >= F.lit(min_items))
+    )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _gray_pixels(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic grayscale 'decode' for the perceptual hash.
+
+    Raw 8-bit frames pass through exactly: when ``meta['pix_w']/['pix_h']``
+    are set and ``w*h == len(payload)``, the payload IS the pixel matrix —
+    the shape a production codec decode (PIL/libjpeg, absent in this
+    container) would emit into this same batch loop; that codec call is the
+    single swap-in point (module docstring). Every other payload folds the
+    raw BYTE STREAM into a 64x64 grid by tiling — a clearly-marked
+    deterministic fake that keeps the Spark plumbing, batch shape, and hash
+    math real and testable without a codec library."""
+    w, h = meta.get("pix_w"), meta.get("pix_h")
+    if w and h and int(w) * int(h) == len(payload):
+        return (
+            np.frombuffer(payload, np.uint8)
+            .reshape(int(h), int(w))
+            .astype(np.float64)
+        )
+    buf = np.frombuffer(payload or b"\x00", np.uint8)
+    need = 64 * 64
+    reps = -(-need // len(buf))
+    return np.tile(buf, reps)[:need].reshape(64, 64).astype(np.float64)
+
+
+def _resize_block_mean(a: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Block-average resize to (oh, ow) via two reduceat passes — the
+    classic perceptual-hash downsample, no interpolation library. Inputs
+    smaller than the target degrade to nearest-neighbor (reduceat semantics
+    for repeated edges), counts clamped to avoid zero division."""
+    H, W = a.shape
+    re_ = (np.arange(oh) * H) // oh
+    ce = (np.arange(ow) * W) // ow
+    s = np.add.reduceat(np.add.reduceat(a, re_, axis=0), ce, axis=1)
+    rc = np.maximum(np.diff(np.r_[re_, H]), 1)[:, None]
+    cc = np.maximum(np.diff(np.r_[ce, W]), 1)[None, :]
+    return s / (rc * cc)
+
+
+def _dhash64(gray: np.ndarray) -> int:
+    """64-bit difference hash: block-average to 8x9, one bit per horizontal
+    gradient sign. Near-identical images differ in few bits (Hamming), the
+    property the banded near-dup join below exploits — the image-domain
+    sibling of the text simhash."""
+    g = _resize_block_mean(gray, 8, 9)
+    bits = (g[:, 1:] > g[:, :-1]).flatten()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, dhash): Arrow-batched perceptual hashing over mapInPandas —
+    one corpus scan, no shuffle; the hash is 8 bytes/item regardless of
+    payload size, so everything downstream is narrow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "dhash": []}
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                meta = dict(r.meta) if r.meta is not None else {}
+                out["media_id"].append(r.media_id)
+                out["dhash"].append(_dhash64(_gray_pixels(payload, meta)))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def media_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 6,
+    salt_buckets: int = 8, bucket_cap: int = 1000,
+) -> DataFrame:
+    """PERCEPTUAL media near-dup pairs: (a, b, hamming) with dhash Hamming
+    distance <= ``max_hamming`` — re-encoded/slightly-edited image detection,
+    the multimodal sibling of simhash_pairs.
+
+    Dataflow is the engine's standard bucket discipline, reusing the LSH
+    primitives verbatim: the 64-bit dhash splits into 4x16-bit bands
+    (pigeonhole: any pair within Hamming <= 3 shares at least one exact
+    band; 4-6 is probabilistic — the declared LSH recall contract, same as
+    the text side), band rows get the salted two-level capped aggregation
+    (lsh.capped_id_buckets — no task ever owns a hot bucket; truncation
+    metered in the bucket frame, never silent), pairs explode JVM-side
+    (lsh.intra_array_pairs), and only then does the 8-byte hash join back
+    for the exact Hamming filter. Identical payloads share all 4 bands and
+    surface at hamming 0; route byte-exact groups to media_exact_dups.
+    Pytest-gated on planted near-identical raw bitmaps (no SQL oracle —
+    perceptual hashing is not SQL-expressible; same posture as
+    simhash_pairs)."""
+    from replicheck_spark.operators.lsh import (
+        capped_id_buckets,
+        intra_array_pairs,
+    )
+
+    hashes = media_dhash(media).localCheckpoint(eager=False)
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("dhash"), 16 * i).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            for i in range(4)
+        ]
+    )
+    rows = hashes.select(
+        "media_id", F.posexplode(band_vals).alias("band_id", "band_hash")
+    ).withColumn("salt", F.pmod(F.xxhash64("media_id"), F.lit(salt_buckets)))
+    buckets = capped_id_buckets(
+        rows, ["band_id", "band_hash"], bucket_cap, id_col="media_id"
+    )
+    pairs = (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(intra_array_pairs("ids")).alias("p"))
+        .select("p.a", "p.b")
+        .dropDuplicates(["a", "b"])
+    )
+    a = hashes.select(F.col("media_id").alias("a"), F.col("dhash").alias("a_h"))
+    b = hashes.select(F.col("media_id").alias("b"), F.col("dhash").alias("b_h"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("a_h").bitwiseXOR(F.col("b_h")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
     )

@@ -85,7 +85,9 @@ def _normalize(cols, rows):
     )
 
 
-@pytest.mark.parametrize("name", ["exact_dup_groups", "embedding_dup_pairs"])
+@pytest.mark.parametrize(
+    "name", ["exact_dup_groups", "embedding_dup_pairs", "media_exact_dups"]
+)
 def test_planted_parity(spark, planted_dir, name):
     sql = entry_mod.oracle_sql()[name]
     scols, srows = _spark_rows(spark, planted_dir, name)

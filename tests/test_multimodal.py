@@ -122,3 +122,82 @@ def test_fake_media_features_have_null_dims(spark, pages_small):
     feats = extract_features(media_from_documents(docs)).collect()
     assert feats
     assert all(r["img_width"] is None for r in feats)
+
+
+class TestMediaDedup:
+    def test_media_exact_dups_planted_groups(self, spark):
+        """Byte-identical payloads group by sha; cross_source marks groups
+        spanning >= 2 distinct meta['source'] values (the re-hosted-asset
+        signal); singletons are excluded."""
+        from replicheck_spark.operators.multimodal import media_exact_dups
+
+        rows = [
+            (1, "image", b"SAME BYTES", {"source": "crawl-a"}),
+            (2, "image", b"SAME BYTES", {"source": "crawl-b"}),
+            (3, "audio", b"OTHER", {"source": "crawl-a"}),
+            (4, "audio", b"OTHER", {"source": "crawl-a"}),  # same-source dup
+            (5, "video", b"UNIQUE", {"source": "crawl-c"}),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, "
+            "meta map<string,string>",
+        )
+        out = {r["media_sha"]: r for r in media_exact_dups(media).collect()}
+        assert len(out) == 2
+        import hashlib
+
+        same = hashlib.sha256(b"SAME BYTES").hexdigest()
+        other = hashlib.sha256(b"OTHER").hexdigest()
+        assert out[same]["n_items"] == 2 and out[same]["cross_source"]
+        assert out[other]["n_items"] == 2 and not out[other]["cross_source"]
+
+    def test_media_near_dup_pairs_planted_bitmaps(self, spark):
+        """Perceptual gate on planted raw 64x64 grayscale frames: a copy
+        with one nudged corner block pairs with its original at small
+        Hamming; an unrelated random frame pairs with nothing. Exercises the
+        raw-frame decode path (meta pix_w/pix_h), the 4x16-bit banding, and
+        the salted capped buckets end to end."""
+        import numpy as np
+
+        from replicheck_spark.operators.multimodal import media_near_dup_pairs
+
+        rng = np.random.default_rng(42)
+        base = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+        near = base.copy()
+        near[:4, :4] = np.clip(
+            near[:4, :4].astype(int) + 25, 0, 255
+        ).astype(np.uint8)
+        other = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+        meta = {"pix_w": "64", "pix_h": "64"}
+        rows = [
+            (1, "image", base.tobytes(), meta),
+            (2, "image", near.tobytes(), meta),
+            (3, "image", other.tobytes(), meta),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, "
+            "meta map<string,string>",
+        )
+        got = media_near_dup_pairs(media, max_hamming=6).collect()
+        assert {(r["a"], r["b"]) for r in got} == {(1, 2)}
+        assert all(r["hamming"] <= 6 for r in got)
+
+    def test_media_near_dup_identical_payloads_hamming_zero(self, spark):
+        """Byte-identical payloads share every band and surface at hamming
+        0 — the contract that routes exact groups to media_exact_dups but
+        never silently loses them here."""
+        from replicheck_spark.operators.multimodal import media_near_dup_pairs
+
+        rows = [
+            (1, "image", b"PAYLOAD BYTES HERE", {}),
+            (2, "image", b"PAYLOAD BYTES HERE", {}),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, "
+            "meta map<string,string>",
+        )
+        got = media_near_dup_pairs(media).collect()
+        assert [(r["a"], r["b"], r["hamming"]) for r in got] == [(1, 2, 0)]
