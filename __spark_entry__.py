@@ -250,6 +250,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return feats.select("media_id", "kind", "n_bytes", "sha256")
 
+    def q_mixture_sample(spark, sf):
+        return textops.mixture_sample(
+            docs(spark, sf),
+            {"src0": 1.0, "src1": 0.0, "src2": 0.25},
+            default_rate=0.5,
+        )
+
     def q_media_exact_dups(spark, sf):
         # thumbnail payloads (40-char prefix) so byte-identical groups exist
         # in the fixture corpus — see media_from_documents
@@ -357,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_stats": q_media_stats,
         "media_exact_dups": q_media_exact_dups,
+        "mixture_sample": q_mixture_sample,
         "media_features": q_media_features,
         "events_running": q_events_running,
         "event_type_summary": q_event_type_summary,
@@ -947,6 +955,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings x, embeddings y
             WHERE x.vec_id < y.vec_id
               AND list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+        """,
+        "mixture_sample": """
+            -- deterministic source-mixture sampling: keep iff the first 6
+            -- md5 hex chars of "<doc_id>:mix" (as int) < rate(source)*16^6
+            -- (mirrored in textops.mixture_sample)
+            SELECT doc_id, lang, source FROM documents
+            WHERE (('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 6))
+                   ::UBIGINT)::DOUBLE
+                  < 16777216.0 * (CASE source
+                                  WHEN 'src0' THEN 1.0
+                                  WHEN 'src1' THEN 0.0
+                                  WHEN 'src2' THEN 0.25
+                                  ELSE 0.5 END)
         """,
         "media_exact_dups": """
             -- exact media dedup over the thumbnail-payload media table

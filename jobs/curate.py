@@ -10,11 +10,25 @@ operators into one resumable job:
   3. line      — C4-style corpus-frequency line removal
                  (blocks.line_corpus_dedup); docs whose text becomes empty
                  are dropped (counted, never silent)
-  4. decon     — optional GPT-3-style n-gram decontamination against
+  4. blocks    — optional CCNet-style corpus-frequency WINDOW removal
+                 (blocks.boilerplate_strip, --block-min-docs); the
+                 fixed-token-window complement of the line stage (catches
+                 repeated paragraphs the newline granularity misses);
+                 emptied docs drop
+  5. decon     — optional GPT-3-style n-gram decontamination against
                  --bench (dedup_ops.decontaminate); contaminated docs drop
-  5. dedup     — near-duplicate removal: LSH edges + exact star edges →
+  6. dedup     — near-duplicate removal: LSH edges + exact star edges →
                  connected components → keep one canonical doc per cluster
                  (dedup_ops.cluster_labels(method="lsh") — the 100x path)
+  7. mix       — optional deterministic source-mixture sampling
+                 (textops.mixture_sample, --mix "src=rate,...,default=R"):
+                 the standard final mixture-weighting stage; membership is
+                 a pure function of (doc_id, salt), so re-runs and resumes
+                 are byte-identical
+
+With every optional stage enabled the job covers the full published
+curation recipe: heuristics -> PII -> C4 lines -> CCNet windows ->
+decontamination -> MinHash near-dedup -> mixture weighting.
 
 Each stage output is a checkpointed table under --ckpt/--run-id with the
 same _SUCCESS/resume contract as jobs/dedup.py (re-run with the same ids →
@@ -55,6 +69,17 @@ def parse_args(argv):
     p.add_argument("--line-min-docs", type=int, default=2,
                    help="corpus-frequency threshold for line removal")
     p.add_argument("--no-line-dedup", action="store_true")
+    p.add_argument("--block-min-docs", type=int, default=None,
+                   help="enable CCNet-style window boilerplate removal: "
+                   "strip fixed-token windows appearing in >= N distinct "
+                   "docs (blocks.boilerplate_strip)")
+    p.add_argument("--block-tokens", type=int, default=100,
+                   help="window size (tokens) for --block-min-docs")
+    p.add_argument("--mix", default=None, metavar="SPEC",
+                   help="enable deterministic source-mixture sampling as "
+                   "the final stage: 'srcA=1.0,srcB=0.3,default=0.5' "
+                   "(textops.mixture_sample; unlisted sources keep "
+                   "'default', which itself defaults to 1.0)")
     p.add_argument("--bench", default=None,
                    help="parquet path of a benchmark/eval documents table; "
                    "enables the decontamination stage")
@@ -181,7 +206,25 @@ def main(argv=None) -> int:
 
         cur, n_cur = stage("line_dedup", n2, build_lined)
 
-    # ---- 4. optional decontamination -------------------------------------
+    # ---- 4. optional CCNet window boilerplate removal --------------------
+    if args.block_min_docs is not None:
+        from replicheck_spark.operators.blocks import boilerplate_strip
+
+        lined = cur
+        def build_blocked():
+            stripped = boilerplate_strip(
+                lined, block_tokens=args.block_tokens,
+                min_docs=args.block_min_docs,
+            ).select("doc_id", "clean_text")
+            out = lined.drop("text").join(stripped, "doc_id") \
+                .withColumnRenamed("clean_text", "text")
+            # a doc that was pure corpus-boilerplate is dropped (counted
+            # via the stage's rows_in - rows_out)
+            return out.filter(F.trim(F.col("text")) != "")
+
+        cur, n_cur = stage("block_strip", n_cur, build_blocked)
+
+    # ---- 5. optional decontamination -------------------------------------
     if args.bench is not None:
         bench = spark.read.parquet(args.bench).select("doc_id", "text")
 
@@ -192,19 +235,48 @@ def main(argv=None) -> int:
 
         cur, n_cur = stage("decontaminated", n_cur, build_decon)
 
-    # ---- 5. near-dedup (LSH edges + exact stars -> CC -> canonical) -----
+    # ---- 6. near-dedup (LSH edges + exact stars -> CC -> canonical) -----
     if not args.no_dedup:
+        pre_dedup = cur
         def build_deduped():
             labels = dedup_ops.cluster_labels(
-                cur, k=args.shingle_k, threshold=args.threshold,
+                pre_dedup, k=args.shingle_k, threshold=args.threshold,
                 method="lsh", cfg=cfg,
             )
             dropped = labels.filter(
                 F.col("doc_id") != F.col("cluster_id")
             ).select("doc_id")
-            return cur.join(dropped, "doc_id", "left_anti")
+            return pre_dedup.join(dropped, "doc_id", "left_anti")
 
         cur, n_cur = stage("curated", n_cur, build_deduped)
+
+    # ---- 7. optional deterministic source-mixture sampling ---------------
+    if args.mix is not None:
+        rates: dict[str, float] = {}
+        default_rate = 1.0
+        for part in args.mix.split(","):
+            k, _, v = part.partition("=")
+            if not _:
+                raise SystemExit(f"--mix entry {part!r} is not 'name=rate'")
+            if k.strip() == "default":
+                default_rate = float(v)
+            else:
+                rates[k.strip()] = float(v)
+        if "source" not in cur.columns:
+            raise SystemExit("--mix requires a 'source' column in the input")
+        pre_mix = cur
+        def build_mixed():
+            keep = textops.mixture_sample(
+                pre_mix.withColumn(
+                    "lang",
+                    F.col("lang") if "lang" in pre_mix.columns
+                    else F.lit("und"),
+                ),
+                rates, default_rate=default_rate,
+            ).select("doc_id")
+            return pre_mix.join(keep, "doc_id", "left_semi")
+
+        cur, n_cur = stage("mixed", n_cur, build_mixed)
 
     wall = time.monotonic() - t0
     out = {

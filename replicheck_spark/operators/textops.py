@@ -867,3 +867,51 @@ def fingerprint(docs: DataFrame, k: int = 5, window: int = 8) -> DataFrame:
     return fp.select(
         "doc_id", F.explode_outer("fingerprint").alias("fp")
     )
+
+
+def mixture_sample(
+    docs: DataFrame, rates: dict[str, float],
+    default_rate: float = 1.0, salt: str = "mix",
+) -> DataFrame:
+    """Deterministic source-mixture sampling — the standard FINAL stage of a
+    curation pipeline (mixture weighting: e.g. keep wiki at 1.0, common
+    crawl at 0.3): each source keeps an exact, reproducible pseudo-random
+    fraction of its documents.
+
+    keep iff hash6(doc_id, salt) < rate(source) * 16^6, where hash6 is the
+    first 6 hex chars of md5("<doc_id>:<salt>") as an integer. Membership is
+    a pure function of (doc_id, salt) — stable across runs, partition
+    layouts, and cluster sizes (Bernoulli per doc, no rank/row_number
+    window, no sampleBy seed coupling to partitioning). md5 over xxhash64
+    solely so the SAME expression evaluates in DuckDB
+    (('0x' || substr(md5(..), 1, 6))::UBIGINT), keeping the operator
+    driver-checkable end to end; 24 bits of hash give rate granularity
+    ~6e-8, far finer than any mixture spec.
+
+    Scale design: ONE projection + filter per scan — no shuffle, no window,
+    nothing driver-side; Catalyst pushes the source CASE and the filter into
+    the scan, so at 10^12 docs this costs exactly one pass and writes only
+    survivors. Unlisted sources keep ``default_rate``. Returns the surviving
+    rows minus the text payload (same cheap-to-verify contract as
+    near_dedup_survivors; callers re-join text by doc_id).
+    """
+    for src, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {src!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(salt))
+            ),
+            1, 6,
+        ),
+        16, 10,
+    ).cast("long")
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col("source") == src, F.lit(float(r))).otherwise(rate)
+    return docs.filter(key.cast("double") < rate * F.lit(float(16 ** 6))).select(
+        "doc_id", "lang", "source"
+    )

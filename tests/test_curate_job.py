@@ -79,3 +79,35 @@ def test_curate_job_lineage_and_resume(spark, planted_docs, tmp_path):
         for k, v in stages.items()
     }
     assert strip(out2["stages"]) == strip(out["stages"])
+
+
+def test_curate_job_optional_block_and_mix_stages(spark, planted_docs, tmp_path):
+    """--block-min-docs and --mix add the CCNet-window and mixture stages:
+    lineage rows appear in order, the mixture drops exactly the rate-0
+    source's survivors (deterministic), and resume is byte-identical with
+    the optional stages enabled."""
+    ckpt = str(tmp_path / "ck2")
+    args = ["--docs", planted_docs, "--ckpt", ckpt, "--run-id", "t2",
+            "--master", "local[4]",
+            "--block-min-docs", "2",
+            "--mix", "s1=0.0,default=1.0"]
+    out = _run_job(args)
+    st = out["stages"]
+    assert list(st) == ["docs", "filtered", "scrubbed", "line_dedup",
+                        "block_strip", "curated", "mixed"]
+    # the planted 60-70 token docs are single distinct windows — the block
+    # stage must pass them through untouched (its job is repeated windows)
+    assert st["block_strip"]["rows_out"] == st["line_dedup"]["rows_out"] == 4
+    assert st["curated"]["rows_out"] == 3            # near-dup doc 3 dropped
+    # survivors before mix: 1 (s0), 4 (s0), 6 (s1); rate 0 kills source s1
+    assert st["mixed"]["rows_out"] == 2 and out["docs_out"] == 2
+    mixed = spark.read.parquet(os.path.join(ckpt, "t2", "mixed"))
+    assert {r["doc_id"] for r in mixed.collect()} == {1, 4}
+
+    out2 = _run_job(args)
+    assert all(s["resumed"] for s in out2["stages"].values())
+    strip = lambda stages: {  # noqa: E731 - local shorthand
+        k: {kk: vv for kk, vv in v.items() if kk != "resumed"}
+        for k, v in stages.items()
+    }
+    assert strip(out2["stages"]) == strip(out["stages"])

@@ -241,3 +241,84 @@ def test_line_corpus_dedup_keepfirst_within_doc_repeats(spark):
     }
     assert out[1]["n_removed"] == 1 and out[1]["clean_text"] == "X\nmid"
     assert out[2]["n_removed"] == 1 and out[2]["clean_text"] == "other"
+
+
+class TestMixtureSample:
+    def test_exact_rates_and_determinism(self, spark):
+        """rate 1.0 keeps every doc of a source, 0.0 drops all; membership
+        is a pure function of (doc_id, salt): identical across repeated
+        runs and across different partition layouts."""
+        from replicheck_spark.operators.textops import mixture_sample
+
+        rows = [
+            (i, f"text {i}", "en", f"src{i % 4}", 10) for i in range(400)
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        rates = {"src0": 1.0, "src1": 0.0, "src2": 0.5}
+        a = sorted(
+            tuple(r)
+            for r in mixture_sample(docs, rates, default_rate=0.5).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in mixture_sample(
+                docs.repartition(17), rates, default_rate=0.5
+            ).collect()
+        )
+        assert a == b  # partition-layout independent
+        by_src = {}
+        for _, _, s in a:
+            by_src[s] = by_src.get(s, 0) + 1
+        assert by_src.get("src0") == 100       # rate 1.0: all kept
+        assert "src1" not in by_src            # rate 0.0: none kept
+        assert 25 <= by_src.get("src2", 0) <= 75   # ~0.5 of 100
+        assert 30 <= by_src.get("src3", 0) <= 70   # default 0.5
+
+    def test_lower_rate_sample_is_subset(self, spark):
+        """Threshold comparison on one fixed hash => the 0.25 sample of a
+        source is a strict subset of its 0.75 sample (nested samples, the
+        property that makes mixture re-weighting reproducible without
+        re-shuffling membership)."""
+        from replicheck_spark.operators.textops import mixture_sample
+
+        rows = [(i, "t", "en", "web", 1) for i in range(300)]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        lo = {r["doc_id"] for r in mixture_sample(docs, {"web": 0.25}).collect()}
+        hi = {r["doc_id"] for r in mixture_sample(docs, {"web": 0.75}).collect()}
+        assert lo < hi
+
+    def test_rate_validation(self, spark):
+        from replicheck_spark.operators.textops import mixture_sample
+
+        docs = spark.createDataFrame(
+            [(1, "t", "en", "s", 1)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        with pytest.raises(ValueError):
+            mixture_sample(docs, {"s": 1.5})
+        with pytest.raises(ValueError):
+            mixture_sample(docs, {}, default_rate=-0.1)
+
+    def test_driver_oracle_parity_at_sf(self, spark):
+        """The driver protocol itself (queries() vs oracle_sql() on the same
+        parquet) at sf0.001 — the same comparison CORRECTNESS_r07 records."""
+        sf = "/root/testdata/sf0.001"
+        cols, rows = _run(spark, sf, "mixture_sample")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        cur = con.execute(entry_mod.oracle_sql()["mixture_sample"])
+        ocols, orows = [c[0] for c in cur.description], cur.fetchall()
+        assert rows, "must be non-vacuous at sf0.001"
+        assert _normalize(cols, rows) == _normalize(ocols, orows)
