@@ -217,6 +217,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_planes=4, n_tables=16,
         )
 
+    def q_knn_lsh_exhaustive(spark, sf):
+        # n_planes=0 -> one shared bucket -> candidates are ALL pairs, so
+        # the LSH operator degenerates to exact brute force BY CONSTRUCTION
+        # (same JVM cosine expression) — which makes the LSH plumbing
+        # (bucketing, salted capped buckets, pair explode, window top-k)
+        # driver-checkable against the brute-force SQL oracle; bucket_cap
+        # is raised above every fixture corpus so the meter stays silent
+        return similarity.knn_lsh(
+            _t(spark, sf, "embeddings"), dim=64, n_queries=10, k=5,
+            n_planes=0, n_tables=1, bucket_cap=100_000,
+        )
+
     def q_knn_ivf(spark, sf):
         # IVF coarse-quantizer ANN (second scale path next to knn_lsh):
         # approximate by construction -> rows-only driver check; recall on
@@ -361,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
+        "knn_lsh_exhaustive": q_knn_lsh_exhaustive,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "media_stats": q_media_stats,
         "media_exact_dups": q_media_exact_dups,
@@ -1048,6 +1061,8 @@ def oracle_sql() -> dict[str, str]:
         FROM ({sql["cross_corpus_pairs"]}) GROUP BY new_id
     """
     sql["knn_ivf_fullprobe"] = sql["knn_bruteforce"]
+    # n_planes=0 single-bucket LSH is brute force by construction too
+    sql["knn_lsh_exhaustive"] = sql["knn_bruteforce"]
     # The composed curation verdict reuses the per-signal oracles verbatim as
     # subqueries, so a fix in any signal's SQL propagates automatically.
     sql["corpus_filter"] = f"""

@@ -272,6 +272,14 @@ def lsh_bucket_candidates(
     """
     drain_overflow_logs()
     def bucket_col(table: int):
+        if n_planes == 0:
+            # degenerate EXHAUSTIVE mode: every vector shares the one empty
+            # bucket, so the candidate set is all pairs and the operator
+            # equals brute force BY CONSTRUCTION — the driver-checkable
+            # face (knn_lsh_exhaustive), not a production config; the
+            # caller must raise bucket_cap above the corpus size or the
+            # cap meter will report the truncation
+            return F.lit("")
         planes = make_hyperplanes(dim, n_planes, seed + table)
         bits = []
         for p in planes:
@@ -497,15 +505,19 @@ def knn_ivf(
 def knn_lsh(
     emb: DataFrame, dim: int, n_queries: int = 10, k: int = 5,
     n_planes: int = 8, seed: int = 42, n_tables: int = 4, observation=None,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """ANN top-k via hyperplane buckets: exact cosine only against same-bucket
     candidates, unioned over ``n_tables`` independent hash tables (multi-probe
     recall without coarser buckets). Rows-only check (approximate by
     construction); tests/test_similarity_recall.py gates recall@k vs brute
-    force."""
+    force. ``n_planes=0`` with ``bucket_cap`` >= corpus size degenerates to
+    exact brute force BY CONSTRUCTION (one shared bucket = all pairs, same
+    JVM cosine expression) — the driver-checkable face
+    (knn_lsh_exhaustive), same pattern as knn_ivf at nprobe=n_cells."""
     cands, capped = lsh_bucket_candidates(
         emb, dim, n_planes=n_planes, seed=seed, n_tables=n_tables,
-        meter="knn_lsh", observation=observation,
+        meter="knn_lsh", observation=observation, bucket_cap=bucket_cap,
     )
     pairs = cands.unionByName(
         cands.select(F.col("b").alias("a"), F.col("a").alias("b"))

@@ -92,6 +92,27 @@ def test_knn_ivf_full_probe_equals_bruteforce(spark, emb):
     assert ivf == bf
 
 
+def test_knn_lsh_exhaustive_equals_bruteforce(spark, emb):
+    """Graceful degradation, LSH flavor (VERDICT r6 #7): n_planes=0 puts
+    every vector in ONE shared bucket, so candidates are all pairs and the
+    LSH operator must return EXACTLY the brute-force top-k — on any data.
+    This is the construction behind the knn_lsh_exhaustive driver face."""
+    from replicheck_spark.operators import similarity
+
+    bf = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()
+    )
+    lsh = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.knn_lsh(
+            emb, dim=64, n_queries=10, k=5, n_planes=0, n_tables=1,
+            bucket_cap=100_000,
+        ).collect()
+    )
+    assert lsh == bf
+
+
 def test_knn_ivf_deterministic(spark, emb):
     """Same input -> same neighbor sets on repeated builds: centroid training
     uses the xxhash64-ordered sample and a fixed seed, no runtime RNG."""
