@@ -253,6 +253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_embedding_dup_pairs(spark, sf):
         return similarity.embedding_dup_pairs(_t(spark, sf, "embeddings"), 0.95)
 
+    def q_embedding_dedup_survivors(spark, sf):
+        return similarity.embedding_dedup_survivors(
+            _t(spark, sf, "embeddings"), 0.95
+        )
+
     def q_media_stats(spark, sf):
         return multimodal.media_stats(multimodal.media_from_documents(docs(spark, sf)))
 
@@ -375,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
         "knn_lsh_exhaustive": q_knn_lsh_exhaustive,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dedup_survivors": q_embedding_dedup_survivors,
         "media_stats": q_media_stats,
         "media_exact_dups": q_media_exact_dups,
         "mixture_sample": q_mixture_sample,
@@ -968,6 +974,29 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings x, embeddings y
             WHERE x.vec_id < y.vec_id
               AND list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+        """,
+        "embedding_dedup_survivors": """
+            -- SemDeDup applied: recursive-CTE closure over the cosine pair
+            -- graph, keep min-vec_id canonical per component + singletons
+            -- (mirrored in similarity.embedding_dedup_survivors)
+            WITH RECURSIVE pairs AS (
+                SELECT x.vec_id AS a, y.vec_id AS b
+                FROM embeddings x, embeddings y
+                WHERE x.vec_id < y.vec_id
+                  AND list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+            ),
+            e AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION SELECT b, a FROM pairs),
+            walk(node, reach) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT w.node, e.dst FROM walk w JOIN e ON w.reach = e.src
+            ),
+            lab AS (SELECT node AS vec_id, min(reach) AS cluster_id
+                    FROM walk GROUP BY node)
+            SELECT v.vec_id FROM embeddings v
+            WHERE v.vec_id NOT IN
+                  (SELECT vec_id FROM lab WHERE vec_id <> cluster_id)
         """,
         "mixture_sample": """
             -- deterministic source-mixture sampling: keep iff the first 6

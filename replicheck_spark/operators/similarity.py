@@ -534,3 +534,42 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select(F.col("a").alias("query_id"), F.col("b").alias("neighbor_id"), "rank")
     )
+
+
+def embedding_dedup_survivors(
+    emb: DataFrame, threshold: float = 0.95,
+    broadcast_bytes_limit: int = 256 * 1024 * 1024,
+    n_planes: int = 12, n_tables: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup APPLIED (Abbas et al. 2023: drop all
+    but one member of every embedding-cosine cluster): keep exactly one
+    canonical vector per >=threshold-cosine connected component (the min
+    vec_id — which IS the component label under connected_components'
+    min-reachable labeling) plus every unclustered vector. The embedding
+    sibling of dedup_ops.near_dedup_survivors — same closure, same
+    canonical rule, different similarity kernel.
+
+    Returns the surviving (vec_id) set only — the embedding payload is the
+    table's heavy column and callers re-join it by vec_id (the same
+    cheap-to-verify contract as near_dedup_survivors).
+
+    Scale: pair generation is embedding_dup_pairs (bytes-gated
+    broadcast/BLAS under the limit, bucketed LSH + in-bucket confirm
+    above); components is the one-job-per-round hash-min loop; the drop
+    set (clustered non-canonical vectors) is tiny relative to the corpus,
+    so AQE broadcasts the anti-join probe. SQL-expressible end to end
+    (DuckDB list_cosine_similarity pairs + recursive-CTE closure), so the
+    whole composition is driver-checked. The threshold-membership float
+    caveat of embedding_dup_pairs applies unchanged.
+    """
+    from replicheck_spark.operators.components import connected_components
+
+    pairs = embedding_dup_pairs(
+        emb, threshold, broadcast_bytes_limit=broadcast_bytes_limit,
+        n_planes=n_planes, n_tables=n_tables,
+    )
+    labels = connected_components(pairs.select("a", "b"))
+    dropped = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id")

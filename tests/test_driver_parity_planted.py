@@ -86,7 +86,9 @@ def _normalize(cols, rows):
 
 
 @pytest.mark.parametrize(
-    "name", ["exact_dup_groups", "embedding_dup_pairs", "media_exact_dups"]
+    "name",
+    ["exact_dup_groups", "embedding_dup_pairs", "media_exact_dups",
+     "embedding_dedup_survivors"],
 )
 def test_planted_parity(spark, planted_dir, name):
     sql = entry_mod.oracle_sql()[name]
@@ -106,3 +108,9 @@ def test_planted_positives_are_the_planted_ones(spark, planted_dir):
 
     _, pairs = _spark_rows(spark, planted_dir, "embedding_dup_pairs")
     assert sorted(pairs) == [(100, 101), (102, 103)]
+
+    # SemDeDup face: exactly the non-canonical cluster members drop
+    _, kept = _spark_rows(spark, planted_dir, "embedding_dedup_survivors")
+    kept_ids = {r[0] for r in kept}
+    assert 101 not in kept_ids and 103 not in kept_ids
+    assert {100, 102} <= kept_ids and len(kept_ids) == 32
