@@ -178,3 +178,36 @@ class TestSignatureColumnPruning:
         plan = _plan(anchor_index(sigs, DedupConfig()))
         schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
         assert schemas and all("shingles" not in s for s in schemas), schemas
+
+
+class TestRound7Plans:
+    def test_mixture_sample_is_shuffle_free_single_scan(self, spark):
+        """mixture_sample must compile to scan -> filter -> project with NO
+        Exchange and NO Window — its whole scale contract is 'one pass,
+        nothing moves'; the text column must not be read (column pruning:
+        the hash keys off doc_id only)."""
+        from replicheck_spark.operators.textops import mixture_sample
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _plan(mixture_sample(docs, {"src0": 0.3}, default_rate=0.5))
+        assert "Exchange" not in plan and "Window" not in plan, plan
+        schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
+        assert schemas and all("text" not in s for s in schemas), schemas
+
+    def test_media_exact_dups_partial_final_agg_prunes_payload(self, spark):
+        """The sha reduces the payload map-side: partial+final hash agg
+        around ONE exchange, and the exchanged schema carries the 64-char
+        sha, never the payload bytes."""
+        from replicheck_spark.operators.multimodal import (
+            media_exact_dups,
+            media_from_documents,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _plan(media_exact_dups(media_from_documents(docs, 40)))
+        assert plan.count("Exchange") >= 1
+        assert "partial" in plan.lower(), plan
+        # payload must not appear in any exchange input (it is consumed by
+        # the map-side sha2 projection)
+        for m in re.finditer(r"Arguments: hashpartitioning\(([^\n]+)", plan):
+            assert "payload" not in m.group(1)
