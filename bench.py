@@ -134,6 +134,12 @@ def _bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "embedding_dup_pairs",
         "events_running",
         "pricing_summary",
+        # round-7 additions — the r6-comparable like-for-like subset is
+        # everything ABOVE this comment (plus dedup_pipeline)
+        "media_exact_dups",
+        "mixture_sample",
+        "embedding_dedup_survivors",
+        "knn_lsh_exhaustive",
     ]
     out: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -278,11 +284,13 @@ def main_default(args) -> None:
                 "unit": "sec",
                 "queries": queries,
                 "queries_cold_first_run": queries_cold,
-                "agg": "min_of_3_runs_per_query (cold_first_run covers these "
-                       "17 only); dedup_pipeline min of >=3 fresh-JVM "
-                       "subprocess runs, each child warmed before timing "
-                       "(no cold pipeline wall is recorded); extra runs "
-                       "bought when wall spread > 1.5x",
+                "agg": "min_of_3_runs_per_query (cold_first_run covers the "
+                       "21 per-query entries only; the r6-comparable "
+                       "like-for-like subset is the first 17 + "
+                       "dedup_pipeline); dedup_pipeline min of >=3 "
+                       "fresh-JVM subprocess runs, each child warmed "
+                       "before timing (no cold pipeline wall is recorded); "
+                       "extra runs bought when wall spread > 1.5x",
                 "sf": sf,
                 "pipeline_docs": n,
                 "pipeline_walls_all": pipe_walls,
